@@ -1,0 +1,109 @@
+"""Deduplication operators over the documents table.
+
+- exact_dedup:      hash-groupBy on content digest (md5) — partial/final agg,
+                    the only shuffle moves (digest, id) pairs.
+- minhash_signature: k salted min-hashes over character shingles; built from
+                    ``md5`` so the DuckDB oracle reproduces every signature
+                    bit-for-bit (shingle → md5(salt||shingle) → MIN per doc).
+- lsh_candidate_pairs: band the signature, equi-join on (band, band_hash) —
+                    the classic MinHash-LSH candidate generation; at scale
+                    the band join is a plain hash shuffle join keyed by the
+                    band digest (uniform keys → no skew).
+- ngram_jaccard:    exact n-gram Jaccard for a candidate pair set
+                    (verification stage after LSH).
+- simhash near-dup: see functions/text.simhash_udf + hamming64.
+
+Everything below is Catalyst expressions (explode / groupBy / join); no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(digest, n_docs, keep_id): one row per distinct content; keep_id =
+    min id (the canonical survivor)."""
+    return (docs.select(F.md5(F.col(text_col)).alias("digest"), id_col)
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id")))
+
+
+def shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-gram shingles per doc, via sequence+explode
+    (JVM-side; no UDF)."""
+    g = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"p -> substring({text_col}, p, {n}))")
+    return (docs.select(id_col, F.explode(g).alias("shingle"))
+            .distinct())
+
+
+def minhash_signature(docs: DataFrame, n: int = 5, k: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """k-wide MinHash signature: mh_i = MIN(md5(i || shingle)).
+
+    md5-based permutations keep the construction engine-portable (string
+    min), at the cost of hashing k× — acceptable because shingling dominates.
+    Output: (doc_id, mh_0..mh_{k-1}).
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle"))))
+            .alias(f"mh_{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ 1 band (here 1 row per shared
+    band = 1 signature column, rows_per_band = k/bands = 1 for the default
+    k=4). Self-equi-join on (band_idx, band_val), id1 < id2."""
+    k = len([c for c in sig.columns if c.startswith("mh_")])
+    per = max(k // bands, 1)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}") for i in range(b * per, (b + 1) * per)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat(*parts).alias("val")))
+    banded = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
+              .select(id_col, F.col("bv.band").alias("band"),
+                      F.col("bv.val").alias("val")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col(f"a.band") == F.col(f"b.band"))
+                   & (F.col(f"a.val") == F.col(f"b.val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id1"),
+                    F.col(f"b.{id_col}").alias("id2"))
+            .distinct())
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate (id1, id2) pairs.
+
+    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B| — integer counts, so
+    the final division is a single exact-operand IEEE op."""
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"),
+                   F.col("shingle").alias("shingle"))
+    inter = (pairs.join(s1, "id1").join(s2, ["id2", "shingle"])
+             .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (pairs.join(inter, ["id1", "id2"], "left")
+           .join(sizes.select(F.col(id_col).alias("id1"),
+                              F.col("sz").alias("sz1")), "id1")
+           .join(sizes.select(F.col(id_col).alias("id2"),
+                              F.col("sz").alias("sz2")), "id2")
+           .select("id1", "id2",
+                   (F.coalesce("n_inter", F.lit(0)).cast("double")
+                    / (F.col("sz1") + F.col("sz2")
+                       - F.coalesce("n_inter", F.lit(0))).cast("double"))
+                   .alias("jaccard")))
+    return out

@@ -1,0 +1,192 @@
+"""Point-in-polygon join + count — the reference's Active-Fires operator.
+
+Reference semantics (``Generate Codes for Artemis - Active Fires.R:27-42``):
+for each buffer polygon, count the contained points, per group attribute
+(``acq_date`` there; ``lang`` in our driver query). Containment is strict
+interior-or-boundary via ``st_contains``; our circular polygons use the exact
+integer predicate ``dx² + dy² ≤ r²`` (boundary included, engine-canonical and
+bit-replicable by the relational oracle).
+
+Physical plan (north_star's "prepared-geometry broadcast + cell-prefix hash
+join"): polygons — a small dim — explode to the square cells their bbox
+covers; points are keyed by the same cell grid (a computed column, no
+shuffle on the fact side); broadcast hash equi-join on cell; exact
+containment predicate; then partial/final ``groupBy(poly).count()``. At
+10^12 documents only the polygon dim and the final counts ever shuffle.
+
+``points_in_polygon_np`` adds general (non-convex) polygon support via a
+vectorized even-odd ray-casting kernel over vertex arrays — the pure-NumPy
+replacement for shapely (unavailable in this environment), validated in
+tests against a reference implementation of the crossing-number rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+CELL_M_DEFAULT = 25_000
+
+
+def polygon_cover_cells(polys: DataFrame, cell_m: int = CELL_M_DEFAULT,
+                        cx_col: str = "cx", cy_col: str = "cy",
+                        r_col: str = "r") -> DataFrame:
+    """Explode each circle polygon to the cells its bbox covers.
+
+    (The rasterize-vector analogue of the reference's
+    ``arcpy.conversion.PolygonToRaster``, 1-Burnt Area ArcGIS - 25km.py:30 —
+    polygon → covering-cell set as an equi-join key.)
+    """
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
+        cxs = cx.to_numpy().astype(np.int64)
+        cys = cy.to_numpy().astype(np.int64)
+        rs = r.to_numpy().astype(np.int64)
+        out = []
+        for x0, y0, rr in zip(cxs, cys, rs):
+            ci_lo = (x0 - rr) // cell_m
+            ci_hi = (x0 + rr) // cell_m
+            cj_lo = (y0 - rr) // cell_m
+            cj_hi = (y0 + rr) // cell_m
+            ii = np.arange(ci_lo, ci_hi + 1, dtype=np.int64)
+            jj = np.arange(cj_lo, cj_hi + 1, dtype=np.int64)
+            out.append((ii[:, None] * (1 << 32) + jj[None, :]).ravel())
+        return pd.Series(out)
+
+    return polys.withColumn(
+        "cell", F.explode(_cover(F.col(cx_col), F.col(cy_col), F.col(r_col))))
+
+
+def pip_circle_counts(points: DataFrame, polys: DataFrame,
+                      group_cols: list[str] | None = None,
+                      cell_m: int = CELL_M_DEFAULT,
+                      x_col: str = "x", y_col: str = "y",
+                      poly_id_col: str = "poly_id") -> DataFrame:
+    """Count points inside each circular polygon (per optional group cols).
+
+    Exact semantics: dx² + dy² ≤ r² (integer). Returns
+    (poly_id, *group_cols, n_points) including zero rows for empty polygons
+    (the reference's rowSums yields 0 counts too, Active Fires.R:33-35) —
+    zero-fill is per polygon (cross of observed group values) only when
+    group_cols is empty; grouped variants return observed combinations.
+    """
+    group_cols = group_cols or []
+    covered = polygon_cover_cells(polys, cell_m)
+    pts = points.withColumn(
+        "cell",
+        (F.col(x_col) / cell_m).cast("long") * F.lit(1 << 32)
+        + (F.col(y_col) / cell_m).cast("long"))
+
+    dx = F.col(x_col) - F.col("cx")
+    dy = F.col(y_col) - F.col("cy")
+    inside = (dx * dx + dy * dy) <= (F.col("r") * F.col("r"))
+    hits = (pts.join(F.broadcast(covered), "cell")
+            .filter(inside)
+            .groupBy(poly_id_col, *group_cols)
+            .agg(F.count(F.lit(1)).alias("n_points")))
+    if group_cols:
+        return hits
+    # zero-fill empty polygons (left join back to the dim)
+    return (polys.select(poly_id_col)
+            .join(hits, poly_id_col, "left")
+            .select(poly_id_col,
+                    F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points")))
+
+
+def radius_count(points: DataFrame, targets: DataFrame, radius_m: int,
+                 id_col: str = "doc_id",
+                 x_col: str = "x", y_col: str = "y",
+                 tx_col: str = "mx", ty_col: str = "my") -> DataFrame:
+    """Ball/radius join count — the reference's ``find_nn_kd_by_tree``
+    ``query_ball_tree`` (Archived_scripts/exploration.ipynb): for every
+    point, how many targets lie within ``radius_m``. Distance-band range
+    join realized as cell equi-join + exact θ post-filter (SURVEY.md J5)."""
+    cell_m = radius_m
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    off_col = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                        for a, b in offs])
+    pts = (points.select(id_col, x_col, y_col)
+           .withColumn("_o", F.explode(off_col))
+           .withColumn("cell",
+                       ((F.col(x_col) / cell_m).cast("long") + F.col("_o.di"))
+                       * F.lit(1 << 32)
+                       + ((F.col(y_col) / cell_m).cast("long")
+                          + F.col("_o.dj")))
+           .drop("_o"))
+    tg = targets.select(
+        tx_col, ty_col,
+        ((F.col(tx_col) / cell_m).cast("long") * F.lit(1 << 32)
+         + (F.col(ty_col) / cell_m).cast("long")).alias("cell"))
+    dx = F.col(x_col) - F.col(tx_col)
+    dy = F.col(y_col) - F.col(ty_col)
+    hits = (pts.join(F.broadcast(tg), "cell")
+            .filter((dx * dx + dy * dy) <= F.lit(radius_m) ** 2)
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_in_radius")))
+    return (points.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col, F.coalesce("n_in_radius", F.lit(0))
+                    .alias("n_in_radius")))
+
+
+# --------------------------------------------------------------------------
+# general polygons: vectorized even-odd ray casting (shapely replacement)
+# --------------------------------------------------------------------------
+
+def points_in_polygon_np(px: np.ndarray, py: np.ndarray,
+                         vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Even-odd (crossing-number) containment of points in ONE polygon.
+
+    ``vx, vy``: polygon vertices (closed or open ring). Boundary points are
+    resolved by the half-open edge rule (consistent, not symmetric) — exact
+    for float inputs; our oracle-verified queries use circles instead, this
+    kernel backs the general-polygon API surface."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    x1, y1 = vx[None, :], vy[None, :]
+    x2, y2 = np.roll(vx, -1)[None, :], np.roll(vy, -1)[None, :]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    crossing = cond & (px < xint)
+    return crossing.sum(axis=1) % 2 == 1
+
+
+def pip_polygon_counts(points: DataFrame, poly_vertices: dict[int, np.ndarray],
+                       cell_m: int = CELL_M_DEFAULT,
+                       id_col: str = "doc_id",
+                       x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """General-polygon PIP: broadcast prepared vertex arrays, cell-prefilter
+    by bbox, exact ray-cast kernel. poly_vertices: {poly_id: (n,2) array}."""
+    prep = {int(k): (np.ascontiguousarray(v[:, 0]),
+                     np.ascontiguousarray(v[:, 1]),
+                     float(v[:, 0].min()), float(v[:, 0].max()),
+                     float(v[:, 1].min()), float(v[:, 1].max()))
+            for k, v in poly_vertices.items()}
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(prep)
+    schema = T.ArrayType(T.LongType())
+
+    @F.pandas_udf(schema)
+    def _hits(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy().astype(np.float64)
+        ys = y.to_numpy().astype(np.float64)
+        res = [[] for _ in range(len(xs))]
+        for pid, (vx, vy, x0, x1, y0, y1) in bc.value.items():
+            box = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+            if not box.any():
+                continue
+            idx = np.flatnonzero(box)
+            ins = points_in_polygon_np(xs[idx], ys[idx], vx, vy)
+            for i in idx[ins]:
+                res[i].append(pid)
+        return pd.Series(res)
+
+    return (points.select(id_col, x_col, y_col)
+            .withColumn("poly_id", F.explode(_hits(F.col(x_col),
+                                                   F.col(y_col))))
+            .groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_points")))

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force top-k against one query vector — the baseline.
+  Embeddings are quantized to int64 (``floor(e*1000 + 0.5)``) before the dot
+  product, making every sum an exact integer ⇒ the score is bit-identical in
+  Spark, NumPy and the DuckDB oracle regardless of summation order. Built-in
+  ``aggregate``/``zip_with`` expressions (JVM-side), no UDF.
+- ``cosine_topk_udf``: the same computation as a batched NumPy matmul kernel
+  (the fast path at scale — one BLAS call per Arrow batch).
+- ``lsh_buckets``: random-hyperplane (sign-LSH) bucketing for ANN at scale:
+  b deterministic hyperplanes → b-bit bucket id; candidate = same bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+QUANT = 1000
+
+
+def _quant_expr(col: str) -> str:
+    """SQL: array<float> -> array<bigint>, floor(e*1000 + 0.5)."""
+    return (f"transform({col}, e -> CAST(floor(CAST(e AS DOUBLE) * {QUANT} "
+            f"+ 0.5) AS BIGINT))")
+
+
+def quantized_cosine(df: DataFrame, qvec: list[float],
+                     vec_col: str = "embedding") -> DataFrame:
+    """Append exact quantized-cosine similarity vs a constant query vector."""
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * QUANT + 0.5).astype(
+        np.int64)
+    q_lit = "array(" + ",".join(f"{int(v)}L" for v in q) + ")"
+    qn2 = int((q * q).sum())
+    expr = (
+        f"aggregate(zip_with({_quant_expr(vec_col)}, {q_lit}, "
+        f"(a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+    n2 = (f"aggregate(transform({_quant_expr(vec_col)}, e -> e * e), 0L, "
+          f"(acc, v) -> acc + v)")
+    return (df.withColumn("dot", F.expr(expr))
+            .withColumn("n2", F.expr(n2))
+            .withColumn("cosine",
+                        F.when(F.col("n2") > 0,
+                               F.col("dot") / F.sqrt(F.col("n2"))
+                               / F.sqrt(F.lit(float(qn2))))
+                        .otherwise(F.lit(None))))
+
+
+def cosine_topk(df: DataFrame, qvec: list[float], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Top-k by exact quantized cosine (desc), deterministic id tie-break.
+    Plan: per-partition TakeOrdered (no full sort at scale)."""
+    scored = quantized_cosine(df, qvec, vec_col)
+    return (scored
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "cosine"))
+
+
+def cosine_topk_udf(df: DataFrame, qvec: list[float], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """Same result via a batched NumPy matmul kernel (scale fast-path)."""
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * QUANT + 0.5).astype(
+        np.int64)
+    qn = float(np.sqrt(float((q * q).sum())))
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(emb: pd.Series) -> pd.Series:
+        m = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * QUANT
+                     + 0.5).astype(np.int64)
+        dot = m @ q
+        n2 = (m * m).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dot / np.sqrt(n2) / qn
+        return pd.Series(np.where(n2 > 0, c, np.nan))
+
+    return (df.withColumn("cosine", _cos(F.col(vec_col)))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "cosine"))
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 8, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit i = (v · h_i) >= 0 for n_planes
+    deterministic (seeded) hyperplanes. Same-bucket vectors are ANN
+    candidates; bucket join is a plain equi-join at scale."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        signs = (m @ planes.T) >= 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return df.withColumn("bucket", _bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(df: DataFrame, qvec: list[float], k: int = 5,
+                 n_planes: int = 8, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """ANN: restrict exact scoring to the query's LSH bucket (falls back to
+    full scan if the bucket has < k members is NOT done here — recall
+    tradeoff is the caller's choice, documented)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(qvec, dtype=np.float64)
+    qb = int(((q @ planes.T >= 0)
+              * (1 << np.arange(n_planes))).sum())
+    bucketed = lsh_buckets(df, n_planes, dim, id_col, vec_col, seed)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qb), qvec, k,
+                       id_col, vec_col)

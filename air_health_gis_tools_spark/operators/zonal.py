@@ -1,0 +1,372 @@
+"""Buffered (circular) zonal statistics — the reference's flagship operator.
+
+Re-expresses the numba point-in-circle loop (``coregRaster``,
+Archived_scripts/utils.py:89-117: ``nansum(pts)/count_nonzero(~isnan(pts))``
+over pixels in a circle) as a batched Arrow kernel: one ``pandas_udf``
+evaluates ALL buffer radii for a whole Arrow batch of points at once
+(compute-once reuse across buffers — the reference's O3 optimization,
+extract_raster_buffer.py:39-41 — generalized).
+
+Canonical membership rule (engine-canonical; the reference's two historic
+variants — the ``+1``-shrunk ``create_buffer`` mask of
+extract_raster_buffer.py:94-102 and the ``intceil`` chord loop of
+utils.py:69-87 — are reproduced separately in tests/test_reference_parity.py):
+
+    pixel (r, c) ∈ buffer(B) of point p  ⇔  (r-r0)² + (c-c0)² ≤ rpx²,
+    rpx = ceil(B / XRES)  (with the v2 ``max(…,1)`` guard,
+                           srg-dev/calculate_focal_mean.py:95)
+
+where (r0, c0) is p's containing pixel (truncation assignment,
+utils.py:47-67). Pure integer math ⇒ exactly replicable by the DuckDB oracle.
+
+Aggregation per point per buffer: nan-aware sum / count / min / max; mean =
+sum/count (NULL when count = 0). Values are exact-integer-valued doubles, so
+the sums are order-independent and bit-identical across engines.
+
+Two physical strategies:
+- ``buffered_stats`` — functional-raster / broadcast-raster path: the kernel
+  evaluates pixel values directly (no shuffle at all; the raster is a
+  deterministic function or a broadcast ndarray). Right when the raster fits
+  one executor (the reference's regime: ~100 M px ≈ 800 MB).
+- ``buffered_stats_tiled`` (scale path) — raster as a parquet tile table,
+  points cogrouped with tiles on tile_id (``cogroup.applyInPandas``), partial
+  (sum, cnt, min, max) per (point, tile), final combine via ``groupBy(point)``
+  — classic partial/final aggregation; no tile array is ever replicated per
+  point, and the shuffle moves only points + partial aggregates, never the
+  raster. This is the plan that survives a 100 TB raster.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..geo_synth import RASTER_H, RASTER_W, XRES, raster_value_np
+
+
+def radius_px(buffer_m: int) -> int:
+    """F7 semantics: ceil(buff/xres) with the v2 max(…,1) guard
+    (extract_raster_buffer.py:227; calculate_focal_mean.py:95)."""
+    return max(math.ceil(buffer_m / XRES), 1)
+
+
+def circle_offsets(rpx: int) -> tuple[np.ndarray, np.ndarray]:
+    """(dr, dc) offsets with dr²+dc² ≤ rpx², row-major order."""
+    rng = np.arange(-rpx, rpx + 1, dtype=np.int64)
+    dr, dc = np.meshgrid(rng, rng, indexing="ij")
+    m = dr * dr + dc * dc <= rpx * rpx
+    return dr[m], dc[m]
+
+
+def _stats_schema(buffers_m: Sequence[int]) -> T.StructType:
+    fields = []
+    for b in buffers_m:
+        fields += [
+            T.StructField(f"mean_{b}", T.DoubleType()),
+            T.StructField(f"min_{b}", T.DoubleType()),
+            T.StructField(f"max_{b}", T.DoubleType()),
+            T.StructField(f"n_valid_{b}", T.LongType()),
+        ]
+    return T.StructType(fields)
+
+
+_CHUNK = 8192  # rows per kernel slice: keeps (chunk × window²) temporaries
+               # inside L3 instead of one 65k-row Arrow batch blowing 230 MB
+
+
+def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
+                              buffers_m: Sequence[int]
+                              ) -> dict[str, np.ndarray]:
+    """Specialized kernel for the synthetic *formula* raster.
+
+    Exploits linearity of the pixel formula: v(r0+dr, c0+dc) =
+    (base(r0,c0) + off(dr,dc)) mod 10000, so each pixel visit is one int32
+    add + conditional subtract instead of two int64 multiplies + mod — and
+    each buffer evaluates ONLY its circle offsets (no bounding-square
+    waste). ~5× the generic path; bit-identical results (integer math).
+
+    Falls back (by raising) if any window touches the raster edge; callers
+    route edge chunks through the generic path.
+    """
+    from ..geo_synth import VALUE_MOD, NODATA_MOD
+    rmax = max(radius_px(b) for b in buffers_m)
+    r0 = y.astype(np.int64) // XRES
+    c0 = x.astype(np.int64) // XRES
+    if (r0.min() < rmax or c0.min() < rmax
+            or r0.max() >= RASTER_H - rmax or c0.max() >= RASTER_W - rmax):
+        raise ValueError("edge window; use generic path")
+
+    base_v = ((r0 * 7919 + c0 * 104729) % VALUE_MOD).astype(np.int32)
+    base_n = ((r0 * 31 + c0 * 17) % NODATA_MOD).astype(np.int8)
+
+    offs = {}
+    for b in buffers_m:
+        dr, dc = circle_offsets(radius_px(b))
+        ov = ((dr * 7919 + dc * 104729) % VALUE_MOD).astype(np.int32)
+        on = ((dr * 31 + dc * 17) % NODATA_MOD).astype(np.int8)
+        offs[b] = (ov, on)
+
+    n = len(x)
+    out: dict[str, np.ndarray] = {}
+    for b in buffers_m:
+        out[f"mean_{b}"] = np.empty(n)
+        out[f"min_{b}"] = np.empty(n)
+        out[f"max_{b}"] = np.empty(n)
+        out[f"n_valid_{b}"] = np.empty(n, dtype=np.int64)
+
+    for s0 in range(0, n, _CHUNK):
+        s1 = min(s0 + _CHUNK, n)
+        bv = base_v[s0:s1]
+        bn = base_n[s0:s1]
+        for b in buffers_m:
+            ov, on = offs[b]
+            vr = bv[:, None] + ov[None, :]
+            np.subtract(vr, VALUE_MOD, out=vr, where=vr >= VALUE_MOD)
+            nod = ((bn[:, None] + on[None, :]) & (NODATA_MOD - 1)) == 0
+            cnt = len(ov) - nod.sum(axis=1)
+            s = np.where(nod, 0, vr).sum(axis=1, dtype=np.int64)
+            mn = np.where(nod, np.int32(VALUE_MOD), vr).min(axis=1)
+            mx = np.where(nod, np.int32(-1), vr).max(axis=1)
+            has = cnt > 0
+            out[f"mean_{b}"][s0:s1] = np.where(
+                has, s / np.maximum(cnt, 1), np.nan)
+            out[f"min_{b}"][s0:s1] = np.where(has, mn, np.nan)
+            out[f"max_{b}"][s0:s1] = np.where(has, mx, np.nan)
+            out[f"n_valid_{b}"][s0:s1] = cnt
+    return out
+
+
+def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
+                 value_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+                 ) -> dict[str, np.ndarray]:
+    """Evaluate all buffers for one batch. value_fn returns float64 w/ NaN."""
+    rmax = max(radius_px(b) for b in buffers_m)
+    rng = np.arange(-rmax, rmax + 1, dtype=np.int64)
+    dr, dc = np.meshgrid(rng, rng, indexing="ij")
+    dr = dr.ravel()
+    dc = dc.ravel()
+    d2 = dr * dr + dc * dc
+    sels = {b: np.flatnonzero(d2 <= radius_px(b) ** 2) for b in buffers_m}
+
+    n = len(x)
+    out: dict[str, np.ndarray] = {}
+    for b in buffers_m:
+        out[f"mean_{b}"] = np.empty(n)
+        out[f"min_{b}"] = np.empty(n)
+        out[f"max_{b}"] = np.empty(n)
+        out[f"n_valid_{b}"] = np.empty(n, dtype=np.int64)
+
+    r0_all = y.astype(np.int64) // XRES
+    c0_all = x.astype(np.int64) // XRES
+    for s0 in range(0, n, _CHUNK):
+        s1 = min(s0 + _CHUNK, n)
+        r0 = r0_all[s0:s1]
+        c0 = c0_all[s0:s1]
+        rows = r0[:, None] + dr[None, :]
+        cols = c0[:, None] + dc[None, :]
+        vals = value_fn(rows, cols)
+        # clip to raster extent (reference clips the circle at array edges —
+        # utils.py:82-84 bounds; points in our fixtures are margin-safe)
+        if (r0.min() < rmax or c0.min() < rmax
+                or r0.max() >= RASTER_H - rmax or c0.max() >= RASTER_W - rmax):
+            oob = ((rows < 0) | (rows >= RASTER_H)
+                   | (cols < 0) | (cols >= RASTER_W))
+            vals = np.where(oob, np.nan, vals)
+        valid_all = ~np.isnan(vals)
+        for b in buffers_m:
+            sel = sels[b]
+            v = vals[:, sel]
+            valid = valid_all[:, sel]
+            cnt = valid.sum(axis=1)
+            s = np.where(valid, v, 0.0).sum(axis=1)
+            has = cnt > 0
+            mean = np.where(has, s / np.maximum(cnt, 1), np.nan)
+            mn = np.where(valid, v, np.inf).min(axis=1)
+            mx = np.where(valid, v, -np.inf).max(axis=1)
+            out[f"mean_{b}"][s0:s1] = np.where(has, mean, np.nan)
+            out[f"min_{b}"][s0:s1] = np.where(has, mn, np.nan)
+            out[f"max_{b}"][s0:s1] = np.where(has, mx, np.nan)
+            out[f"n_valid_{b}"][s0:s1] = cnt
+    return out
+
+
+def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
+                   x_col: str = "x", y_col: str = "y",
+                   value_fn: Callable | None = None,
+                   raster: np.ndarray | None = None,
+                   spark=None) -> DataFrame:
+    """Append per-buffer zonal stats columns (struct-expanded) to ``df``.
+
+    ``value_fn(rows, cols) -> float64[NaN]`` defaults to the synthetic
+    functional raster; pass ``raster`` (2-D ndarray, NaN = nodata) to sample
+    a broadcast in-memory raster instead (the reference's whole-raster-
+    resident regime, README.md:88-92).
+    """
+    buffers_m = list(buffers_m)
+    schema = _stats_schema(buffers_m)
+
+    if raster is not None:
+        bc = (spark or df.sparkSession).sparkContext.broadcast(raster)
+
+        def value_fn(rows, cols, _bc=bc):  # noqa: F811
+            arr = _bc.value
+            r = np.clip(rows, 0, arr.shape[0] - 1)
+            c = np.clip(cols, 0, arr.shape[1] - 1)
+            v = arr[r, c]
+            return np.where((rows != r) | (cols != c), np.nan, v)
+    elif value_fn is None:
+        value_fn = raster_value_np
+
+        @F.pandas_udf(schema)
+        def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+            xs, ys = x.to_numpy(), y.to_numpy()
+            try:
+                res = _batch_stats_formula_fast(xs, ys, buffers_m)
+            except ValueError:  # edge window → generic (clipping) path
+                res = _batch_stats(xs, ys, buffers_m, value_fn)
+            return pd.DataFrame(res)
+
+        out = df.withColumn("_z", _kernel(F.col(x_col), F.col(y_col)))
+        for f in schema.fields:
+            out = out.withColumn(f.name, F.col(f"_z.{f.name}"))
+        return out.drop("_z")
+
+    @F.pandas_udf(schema)
+    def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        res = _batch_stats(x.to_numpy(), y.to_numpy(), buffers_m, value_fn)
+        return pd.DataFrame(res)
+
+    out = df.withColumn("_z", _kernel(F.col(x_col), F.col(y_col)))
+    for f in schema.fields:
+        out = out.withColumn(f.name, F.col(f"_z.{f.name}"))
+    return out.drop("_z")
+
+
+# --------------------------------------------------------------------------
+# scale path: raster tile table + cogroup partial/final aggregation
+# --------------------------------------------------------------------------
+
+def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
+                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Explode each point to the tile ids its max-buffer square touches.
+
+    Tile key: tile_id = (row0/tile_px) * 2^32 + (col0/tile_px). A 10 km
+    buffer at 1 km pixels touches ≤ 4 tiles of 256 px — bounded fan-out.
+    """
+    ntx = 1 << 32
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _tiles(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy().astype(np.int64)
+        ys = y.to_numpy().astype(np.int64)
+        r0 = ys // XRES
+        c0 = xs // XRES
+        out = []
+        tr_lo = np.maximum(r0 - rmax_px, 0) // tile_px
+        tr_hi = np.minimum(r0 + rmax_px, RASTER_H - 1) // tile_px
+        tc_lo = np.maximum(c0 - rmax_px, 0) // tile_px
+        tc_hi = np.minimum(c0 + rmax_px, RASTER_W - 1) // tile_px
+        for a, b, c, d in zip(tr_lo, tr_hi, tc_lo, tc_hi):
+            trs = np.arange(a, b + 1)
+            tcs = np.arange(c, d + 1)
+            out.append((trs[:, None] * ntx + tcs[None, :]).ravel())
+        return pd.Series(out)
+
+    return df.withColumn("tile_id", F.explode(_tiles(F.col(x_col), F.col(y_col))))
+
+
+def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
+                         buffers_m: Sequence[int], tile_px: int,
+                         id_col: str = "doc_id",
+                         x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Partial/final zonal stats over a raster *tile table*.
+
+    ``tiles``: (tile_id:long, row0:int, col0:int, h:int, w:int,
+    data:array<double>) — NaN encoded as NULL inside the array is not needed;
+    nodata arrives already as NaN doubles.
+
+    Plan: points exploded to touched tiles → cogroup(points, tiles) on
+    tile_id (one shuffle of the small side each; the tile table is read
+    once) → Arrow kernel emits per-(point, buffer) PARTIAL (sum, cnt, min,
+    max) → groupBy(point) FINAL combine. Mirrors Spark's own partial/final
+    HashAggregate; no tile pixel ever crosses the final shuffle.
+    """
+    buffers_m = list(buffers_m)
+    rmax = max(radius_px(b) for b in buffers_m)
+    pts = point_tile_ids(
+        points.select(id_col, x_col, y_col), rmax, tile_px, x_col, y_col)
+
+    partial_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("buf", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ])
+
+    def _partial(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
+                 ) -> pd.DataFrame:
+        if pdf_points.empty or pdf_tiles.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="float64") for f in partial_schema})
+        t = pdf_tiles.iloc[0]
+        arr = np.asarray(t["data"], dtype=np.float64).reshape(t["h"], t["w"])
+        row0, col0 = int(t["row0"]), int(t["col0"])
+        xs = pdf_points[x_col].to_numpy().astype(np.int64)
+        ys = pdf_points[y_col].to_numpy().astype(np.int64)
+        pr = ys // XRES
+        pc = xs // XRES
+        rng = np.arange(-rmax, rmax + 1, dtype=np.int64)
+        dr, dc = np.meshgrid(rng, rng, indexing="ij")
+        dr = dr.ravel(); dc = dc.ravel()
+        d2 = dr * dr + dc * dc
+        rows = pr[:, None] + dr[None, :]
+        cols = pc[:, None] + dc[None, :]
+        inside = ((rows >= row0) & (rows < row0 + t["h"]) &
+                  (cols >= col0) & (cols < col0 + t["w"]))
+        rr = np.clip(rows - row0, 0, t["h"] - 1)
+        cc = np.clip(cols - col0, 0, t["w"] - 1)
+        vals = arr[rr, cc]
+        vals = np.where(inside, vals, np.nan)
+        valid_all = ~np.isnan(vals)
+        frames = []
+        ids = pdf_points[id_col].to_numpy()
+        for b in buffers_m:
+            rpx = radius_px(b)
+            sel = d2 <= rpx * rpx
+            v = vals[:, sel]
+            valid = valid_all[:, sel]
+            cnt = valid.sum(axis=1)
+            s = np.where(valid, v, 0.0).sum(axis=1)
+            mn = np.where(valid, v, np.inf).min(axis=1)
+            mx = np.where(valid, v, -np.inf).max(axis=1)
+            frames.append(pd.DataFrame({
+                id_col: ids, "buf": np.int32(b), "s": s, "cnt": cnt,
+                "mn": np.where(cnt > 0, mn, np.nan),
+                "mx": np.where(cnt > 0, mx, np.nan)}))
+        out = pd.concat(frames, ignore_index=True)
+        return out[out["cnt"] > 0]
+
+    partial = (pts.groupBy("tile_id")
+               .cogroup(tiles.groupBy("tile_id"))
+               .applyInPandas(_partial, partial_schema))
+
+    final = (partial.groupBy(id_col)
+             .pivot("buf", buffers_m)
+             .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"),
+                  F.min("mn").alias("mn"), F.max("mx").alias("mx")))
+    cols = [F.col(id_col)]
+    for b in buffers_m:
+        cols += [
+            (F.col(f"{b}_s") / F.col(f"{b}_cnt")).alias(f"mean_{b}"),
+            F.col(f"{b}_mn").alias(f"min_{b}"),
+            F.col(f"{b}_mx").alias(f"max_{b}"),
+            F.coalesce(F.col(f"{b}_cnt"), F.lit(0)).alias(f"n_valid_{b}"),
+        ]
+    return final.select(cols)

@@ -1,0 +1,688 @@
+"""Query registry: every implemented operator as (spark_fn, duckdb_oracle_sql).
+
+The driver executes each Spark plan at sf=0.01 and the paired ANSI-SQL on
+DuckDB over the same parquet tables, then compares row counts, schemas and
+order-insensitive value hashes. Column names are aliased identically on both
+sides. All floating outputs are engineered to be bit-identical across
+engines: integer-exact sums, single-rounded sqrt/divisions (see geo_synth).
+
+SURVEY.md §2 coverage is annotated per query (S/P/J/A/F numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import geo_synth as G
+from ..functions import text as TXT
+from ..functions.cells import hex_cell_udf, square_cell_sql
+from ..functions.geocode import with_xy
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.knn import knn_cell_join
+from ..operators.pip import pip_circle_counts, radius_count
+from ..operators.zonal import buffered_stats, radius_px
+
+BUFFERS = list(G.BUFFERS_M)
+
+
+# --------------------------------------------------------------------------
+# shared loaders / CTE fragments
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def docs_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + geocoded (x, y) — the Arrow geocode kernel (F11)."""
+    return with_xy(_docs(spark, sf_dir))
+
+
+def monitors_df(spark: SparkSession, n: int = G.N_MONITORS) -> DataFrame:
+    mx, my = G.monitor_xy_sql("id", "spark")
+    return spark.range(n).select(
+        F.col("id").alias("monitor_id"),
+        F.expr(mx).alias("mx"), F.expr(my).alias("my"))
+
+
+def polys_df(spark: SparkSession, n: int = G.N_POLYS) -> DataFrame:
+    cx, cy, r = G.poly_circle_sql("id", "spark")
+    return spark.range(n).select(
+        F.col("id").alias("poly_id"),
+        F.expr(cx).alias("cx"), F.expr(cy).alias("cy"), F.expr(r).alias("r"))
+
+
+def _pts_cte(dialect: str) -> str:
+    x, y = G.point_xy_sql("doc_id", dialect)
+    return f"SELECT doc_id, {x} AS x, {y} AS y FROM documents"
+
+
+def _mons_cte(dialect: str) -> str:
+    mx, my = G.monitor_xy_sql("r.id", dialect)
+    if dialect == "duckdb":
+        return (f"SELECT r.range AS monitor_id, {mx.replace('r.id', 'r.range')} AS mx, "
+                f"{my.replace('r.id', 'r.range')} AS my "
+                f"FROM range({G.N_MONITORS}) r")
+    raise ValueError(dialect)
+
+
+def _polys_cte_duckdb() -> str:
+    cx, cy, r = G.poly_circle_sql("p.range", "duckdb")
+    return (f"SELECT p.range AS poly_id, {cx} AS cx, {cy} AS cy, {r} AS r "
+            f"FROM range({G.N_POLYS}) p")
+
+
+# --------------------------------------------------------------------------
+# q01 flagship: buffered zonal statistics (A1 + O3 + F7; J1 assignment)
+# --------------------------------------------------------------------------
+
+def q01_buffered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    out = buffered_stats(pts, BUFFERS)
+    cols = [F.col("doc_id")]
+    for b in BUFFERS:
+        for stat in ("mean", "min", "max"):
+            c = F.col(f"{stat}_{b}")
+            cols.append(F.when(F.isnan(c), None).otherwise(c)
+                        .alias(f"{stat}_{b}"))
+        cols.append(F.col(f"n_valid_{b}"))
+    return out.select(cols)
+
+
+def q01_sql() -> str:
+    rmax = max(radius_px(b) for b in BUFFERS)
+    val = G.raster_value_sql("(p.y // 1000) + o.dr", "(p.x // 1000) + o.dc")
+    per_buf = []
+    for b in BUFFERS:
+        r2 = radius_px(b) ** 2
+        per_buf.append(
+            f"  CASE WHEN count(CASE WHEN d2 <= {r2} THEN v END) > 0 THEN "
+            f"sum(CASE WHEN d2 <= {r2} THEN v END) "
+            f"/ count(CASE WHEN d2 <= {r2} THEN v END) END AS mean_{b},\n"
+            f"  min(CASE WHEN d2 <= {r2} THEN v END) AS min_{b},\n"
+            f"  max(CASE WHEN d2 <= {r2} THEN v END) AS max_{b},\n"
+            f"  count(CASE WHEN d2 <= {r2} THEN v END) AS n_valid_{b}")
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+offs AS (
+  SELECT a.range AS dr, b.range AS dc
+  FROM range(-{rmax}, {rmax + 1}) a, range(-{rmax}, {rmax + 1}) b
+),
+px AS (
+  SELECT p.doc_id, o.dr * o.dr + o.dc * o.dc AS d2, {val} AS v
+  FROM pts p CROSS JOIN offs o
+)
+SELECT doc_id,
+{",".join(per_buf)}
+FROM px GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 hex cell assignment (F12 hex; the tiling join key)
+# --------------------------------------------------------------------------
+
+def q02_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    for res in (7, 8, 9):
+        pts = pts.withColumn(f"cell_hex_{res}",
+                             hex_cell_udf(res)(F.col("x"), F.col("y")))
+    return pts.select("doc_id", "cell_hex_7", "cell_hex_8", "cell_hex_9")
+
+
+def _hex_rank_cte(res: int) -> str:
+    w, h = G.HEX_PITCH[res]
+    enc = G.hex_cell_id_sql_encode(res, "i", "j")
+    return f"""
+cand{res} AS (
+  SELECT p.doc_id,
+         (p.x // {w}) + t.di AS i, (p.y // {h}) + t.dj AS j,
+         (p.x - ((p.x // {w}) + t.di) * {w}) * (p.x - ((p.x // {w}) + t.di) * {w})
+       + (p.y - ((p.y // {h}) + t.dj) * {h}) * (p.y - ((p.y // {h}) + t.dj) * {h}) AS d2
+  FROM pts p CROSS JOIN {G.hex_candidates_values_sql()} t(di, dj)
+),
+best{res} AS (
+  SELECT doc_id, {enc} AS cell_hex_{res},
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, i, j) AS rn
+  FROM cand{res} WHERE (i + j) % 2 = 0
+)"""
+
+
+def q02_sql() -> str:
+    ctes = ",".join(_hex_rank_cte(r) for r in (7, 8, 9))
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),{ctes}
+SELECT b7.doc_id, b7.cell_hex_7, b8.cell_hex_8, b9.cell_hex_9
+FROM (SELECT * FROM best7 WHERE rn = 1) b7
+JOIN (SELECT * FROM best8 WHERE rn = 1) b8 USING (doc_id)
+JOIN (SELECT * FROM best9 WHERE rn = 1) b9 USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 square cells + pixel assignment, both rounding modes (J1, J3)
+# --------------------------------------------------------------------------
+
+def _q03_cols(dialect: str) -> list[tuple[str, str]]:
+    row_f, col_f = G.pixel_of_point_sql("x", "y", dialect, "floor")
+    row_n, col_n = G.pixel_of_point_sql("x", "y", dialect, "nearest")
+    return [
+        ("cell_sq_25k", square_cell_sql("x", "y", 25_000, dialect)),
+        ("cell_sq_5k", square_cell_sql("x", "y", 5_000, dialect)),
+        ("pix_row", row_f), ("pix_col", col_f),
+        ("pix_row_nearest", row_n), ("pix_col_nearest", col_n),
+    ]
+
+
+def q03_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    for name, expr in _q03_cols("spark"):
+        pts = pts.withColumn(name, F.expr(expr))
+    return pts.select("doc_id", *[n for n, _ in _q03_cols("spark")])
+
+
+def q03_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in _q03_cols("duckdb"))
+    return f"WITH pts AS ({_pts_cte('duckdb')})\nSELECT doc_id,\n  {cols}\nFROM pts"
+
+
+# --------------------------------------------------------------------------
+# q04/q05 point sampling (J2 gather; J3 nearest)
+# --------------------------------------------------------------------------
+
+def _sample_sql_expr(dialect: str, mode: str) -> str:
+    row, col = G.pixel_of_point_sql("x", "y", dialect, mode)
+    return G.raster_value_sql(row, col)
+
+
+def q04_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    return pts.select(
+        "doc_id", F.expr(_sample_sql_expr("spark", "floor")).alias("v"))
+
+
+def q04_sql() -> str:
+    return (f"WITH pts AS ({_pts_cte('duckdb')}) SELECT doc_id, "
+            f"{_sample_sql_expr('duckdb', 'floor')} AS v FROM pts")
+
+
+def q05_point_sample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    return pts.select(
+        "doc_id", F.expr(_sample_sql_expr("spark", "nearest")).alias("v"))
+
+
+def q05_sql() -> str:
+    return (f"WITH pts AS ({_pts_cte('duckdb')}) SELECT doc_id, "
+            f"{_sample_sql_expr('duckdb', 'nearest')} AS v FROM pts")
+
+
+# --------------------------------------------------------------------------
+# q06 bounded kNN (J4): cell join vs brute-force oracle
+# --------------------------------------------------------------------------
+
+def q06_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    out = knn_cell_join(pts, monitors_df(spark), G.KNN_BOUND_M)
+    return out.select("doc_id", "monitor_id", "dist_m")
+
+
+def q06_sql() -> str:
+    b2 = G.KNN_BOUND_M ** 2
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+mons AS ({_mons_cte('duckdb')}),
+cand AS (
+  SELECT p.doc_id, m.monitor_id,
+         (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my) AS d2
+  FROM pts p CROSS JOIN mons m
+),
+best AS (
+  SELECT doc_id, monitor_id, d2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, monitor_id) rn
+  FROM cand WHERE d2 <= {b2}
+)
+SELECT p.doc_id, b.monitor_id, sqrt(CAST(b.d2 AS DOUBLE)) AS dist_m
+FROM pts p LEFT JOIN best b ON p.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q07/q08 point-in-polygon counts (J6, A8)
+# --------------------------------------------------------------------------
+
+def q07_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pip_circle_counts(docs_xy(spark, sf_dir), polys_df(spark))
+
+
+def q07_sql() -> str:
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+polys AS ({_polys_cte_duckdb()}),
+hits AS (
+  SELECT g.poly_id, count(*) AS n
+  FROM polys g JOIN pts p
+    ON (p.x - g.cx) * (p.x - g.cx) + (p.y - g.cy) * (p.y - g.cy) <= g.r * g.r
+  GROUP BY g.poly_id
+)
+SELECT g.poly_id, COALESCE(h.n, 0) AS n_points
+FROM polys g LEFT JOIN hits h USING (poly_id)
+"""
+
+
+def q08_pip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pip_circle_counts(docs_xy(spark, sf_dir), polys_df(spark),
+                             group_cols=["lang"])
+
+
+def q08_sql() -> str:
+    return f"""
+WITH pts AS (SELECT d.doc_id, d.lang, p.x, p.y
+             FROM documents d JOIN ({_pts_cte('duckdb')}) p USING (doc_id)),
+polys AS ({_polys_cte_duckdb()})
+SELECT g.poly_id, p.lang, count(*) AS n_points
+FROM polys g JOIN pts p
+  ON (p.x - g.cx) * (p.x - g.cx) + (p.y - g.cy) * (p.y - g.cy) <= g.r * g.r
+GROUP BY g.poly_id, p.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 radius-band join count (J5)
+# --------------------------------------------------------------------------
+
+RADIUS_M = 25_000
+
+
+def q09_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return radius_count(docs_xy(spark, sf_dir), monitors_df(spark), RADIUS_M)
+
+
+def q09_sql() -> str:
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+mons AS ({_mons_cte('duckdb')}),
+hits AS (
+  SELECT p.doc_id, count(*) AS n
+  FROM pts p JOIN mons m
+    ON (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my)
+       <= {RADIUS_M * RADIUS_M}
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id, COALESCE(h.n, 0) AS n_in_radius
+FROM pts p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 attribute filter + agg (P3 + A8 relational shape)
+# --------------------------------------------------------------------------
+
+def q10_events_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.filter(F.col("value") >= 30)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+                 .alias("sum_cents"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def q10_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       min(value) AS min_value, max(value) AS max_value
+FROM events WHERE value >= 30 GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 wind-speed scalar (F3)
+# --------------------------------------------------------------------------
+
+def q11_wind_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.expr("sqrt(value * value + CAST((user_id % 50) * (user_id % 50) "
+               "AS DOUBLE))").alias("speed"))
+
+
+def q11_sql() -> str:
+    return ("SELECT event_id, sqrt(value * value + CAST((user_id % 50) * "
+            "(user_id % 50) AS DOUBLE)) AS speed FROM events")
+
+
+# --------------------------------------------------------------------------
+# q12 year regex extraction (F5/F6)
+# --------------------------------------------------------------------------
+
+def q12_year_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    year = F.concat(F.lit("20"),
+                    F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1),
+                           2, "0"))
+    return (d.select(year.alias("year"))
+            .groupBy("year").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q12_sql() -> str:
+    return """
+SELECT '20' || lpad(regexp_extract(source, '(\\d+)', 1), 2, '0') AS year,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 linear codec after aggregation (F4; calculate_focal_mean.py:101-106)
+# --------------------------------------------------------------------------
+
+def q13_codec_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    agg = (li.groupBy("l_returnflag")
+           .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("raw_mean")))
+    return agg.select("l_returnflag",
+                      (F.col("raw_mean") * 2.0 - 3.0).alias("adj_mean"))
+
+
+def q13_sql() -> str:
+    return """
+SELECT l_returnflag, (sum(l_quantity) / count(*)) * 2.0 - 3.0 AS adj_mean
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q14_sql() -> str:
+    return ("SELECT md5(text) AS digest, count(*) AS n_docs, "
+            "min(doc_id) AS keep_id FROM documents GROUP BY 1")
+
+
+# --------------------------------------------------------------------------
+# q15 token count + quality score
+# --------------------------------------------------------------------------
+
+def q15_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = TXT.token_count(F.col("text"))
+    return d.select(
+        "doc_id", toks.cast("long").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / toks.cast("double"))
+        .alias("quality"))
+
+
+def q15_sql() -> str:
+    return """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+       AS quality
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 MinHash signatures (dedup, verifiable construction)
+# --------------------------------------------------------------------------
+
+def q16_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signature(_docs(spark, sf_dir), n=5, k=4)
+
+
+def q16_sql() -> str:
+    mins = ",\n  ".join(
+        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(4))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
+)
+SELECT doc_id,
+  {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 LSH candidate pairs (bands over a k=8 signature, 4 hashes per band)
+# --------------------------------------------------------------------------
+
+def q17_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DD.minhash_signature(_docs(spark, sf_dir), n=5, k=8)
+    return DD.lsh_candidate_pairs(sig, bands=2)
+
+
+def q17_sql() -> str:
+    mins = ",\n  ".join(
+        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(8))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh_0 || mh_1 || mh_2 || mh_3 AS val FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4 || mh_5 || mh_6 || mh_7 AS val FROM sig
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 brute-force cosine top-k (exact quantized; similarity-search baseline)
+# --------------------------------------------------------------------------
+
+TOPK_QUERY_ID = 0
+TOPK_K = 10
+
+
+def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+            .select("embedding").head()[0])
+    return SIM.cosine_topk(emb, list(qvec), k=TOPK_K)
+
+
+def q18_sql() -> str:
+    q = SIM._quant_expr("q.embedding").replace("transform", "list_transform")
+    v = SIM._quant_expr("e.embedding").replace("transform", "list_transform")
+    return f"""
+WITH qv AS (SELECT {q} AS ql FROM embeddings q WHERE q.vec_id = {TOPK_QUERY_ID}),
+scored AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product({v}, qv.ql) AS DOUBLE) AS dot,
+         CAST(list_dot_product({v}, {v}) AS DOUBLE) AS n2,
+         CAST(list_dot_product(qv.ql, qv.ql) AS DOUBLE) AS qn2
+  FROM embeddings e CROSS JOIN qv
+)
+SELECT vec_id,
+       CASE WHEN n2 > 0 THEN dot / sqrt(n2) / sqrt(qn2) END AS cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 TPC-H Q1-shaped aggregate (pushdown/partial-agg showcase, A-class)
+# --------------------------------------------------------------------------
+
+def q19_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 F.sum(F.expr(
+                     "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+                 .alias("sum_price_cents")))
+
+
+def q19_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem WHERE l_shipdate <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 tumbling-window event rollup (time bucketing)
+# --------------------------------------------------------------------------
+
+def q20_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def q20_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 per-cell rollup (tiling aggregation; skew surface — urban clusters)
+# --------------------------------------------------------------------------
+
+def q21_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    cells = pts.withColumn("cell_hex_7",
+                           hex_cell_udf(7)(F.col("x"), F.col("y")))
+    return (cells.groupBy("cell_hex_7")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+def q21_sql() -> str:
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),{_hex_rank_cte(7)}
+SELECT cell_hex_7, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM best7 WHERE rn = 1 GROUP BY cell_hex_7
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
+# --------------------------------------------------------------------------
+
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    guess = TXT.lang_id_udf()
+    return (d.select("doc_id", "lang", guess(F.col("text")).alias("lang_guess"))
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q23_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = TXT.simhash_udf()
+    f = d.select("doc_id", sh(F.col("text")).alias("fp"))
+    a, b = f.alias("a"), f.alias("b")
+    near = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"),
+                    TXT.hamming64(F.col("a.fp"), F.col("b.fp")).alias("ham"))
+            .filter(F.col("ham") <= 8))
+    return near
+
+
+def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+            .select("embedding").head()[0])
+    return SIM.ann_topk_lsh(emb, list(qvec), k=TOPK_K)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_buffered_stats": q01_buffered_stats,
+    "q02_hex_cells": q02_hex_cells,
+    "q03_square_cells": q03_square_cells,
+    "q04_point_sample": q04_point_sample,
+    "q05_point_sample_nearest": q05_point_sample_nearest,
+    "q06_knn": q06_knn,
+    "q07_pip_counts": q07_pip_counts,
+    "q08_pip_by_lang": q08_pip_by_lang,
+    "q09_radius_count": q09_radius_count,
+    "q10_events_filter_agg": q10_events_filter_agg,
+    "q11_wind_speed": q11_wind_speed,
+    "q12_year_regex": q12_year_regex,
+    "q13_codec_linear": q13_codec_linear,
+    "q14_exact_dedup": q14_exact_dedup,
+    "q15_token_quality": q15_token_quality,
+    "q16_minhash": q16_minhash,
+    "q17_lsh_pairs": q17_lsh_pairs,
+    "q18_cosine_topk": q18_cosine_topk,
+    "q19_lineitem_agg": q19_lineitem_agg,
+    "q20_events_hourly": q20_events_hourly,
+    "q21_hex_rollup": q21_hex_rollup,
+    "q22_lang_id": q22_lang_id,
+    "q23_simhash_nn": q23_simhash_nn,
+    "q24_ann_lsh": q24_ann_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_buffered_stats": q01_sql(),
+    "q02_hex_cells": q02_sql(),
+    "q03_square_cells": q03_sql(),
+    "q04_point_sample": q04_sql(),
+    "q05_point_sample_nearest": q05_sql(),
+    "q06_knn": q06_sql(),
+    "q07_pip_counts": q07_sql(),
+    "q08_pip_by_lang": q08_sql(),
+    "q09_radius_count": q09_sql(),
+    "q10_events_filter_agg": q10_sql(),
+    "q11_wind_speed": q11_sql(),
+    "q12_year_regex": q12_sql(),
+    "q13_codec_linear": q13_sql(),
+    "q14_exact_dedup": q14_sql(),
+    "q15_token_quality": q15_sql(),
+    "q16_minhash": q16_sql(),
+    "q17_lsh_pairs": q17_sql(),
+    "q18_cosine_topk": q18_sql(),
+    "q19_lineitem_agg": q19_sql(),
+    "q20_events_hourly": q20_sql(),
+    "q21_hex_rollup": q21_sql(),
+}

@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for the sandbox (local[N], single JVM) but expressed exactly as it
+would be on a 1000-executor cluster: AQE on (runtime re-plan + skew-join
+splitting, SURVEY.md §4 O7), Arrow transport for every pandas UDF, shuffle
+partitions sized to parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app: str = "air_health_gis_tools_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Raster sources: functional raster, broadcast ndarray, parquet tile table.
+
+The reference reads whole GeoTIFFs into one resident ndarray
+(extract_raster_buffer.py:150-172, ~3.9 GB at 100 M px, README.md:88-92).
+Our scale-path representation is a *tile table*:
+
+    (tile_id:long, row0:int, col0:int, h:int, w:int, data:array<double>)
+
+tile_id = (row0/tile_px) * 2^32 + (col0/tile_px). Tiles are what a COG reader
+would emit from ``spark.read.format("binaryFile")`` + windowed decode in
+``mapInArrow``; here they are generated deterministically from the synthetic
+raster formula (geo_synth.raster_value_np) so tests need no GDAL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from ..geo_synth import RASTER_H, RASTER_W, raster_value_np
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.LongType(), False),
+    T.StructField("row0", T.IntegerType(), False),
+    T.StructField("col0", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("data", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def tile_id_of(trow: int, tcol: int) -> int:
+    return trow * (1 << 32) + tcol
+
+
+def synthetic_tile_table(spark: SparkSession, tile_px: int = 256,
+                         height: int = RASTER_H, width: int = RASTER_W,
+                         ) -> DataFrame:
+    """Distributed generation: one row per tile, pixel decode inside an Arrow
+    kernel on executors (never materialized on the driver)."""
+    ntr = (height + tile_px - 1) // tile_px
+    ntc = (width + tile_px - 1) // tile_px
+    idx = spark.range(ntr * ntc).select(
+        (F.col("id") / ntc).cast("int").alias("trow"),
+        (F.col("id") % ntc).cast("int").alias("tcol"))
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for trow, tcol in zip(pdf["trow"], pdf["tcol"]):
+                r0 = int(trow) * tile_px
+                c0 = int(tcol) * tile_px
+                h = min(tile_px, height - r0)
+                w = min(tile_px, width - c0)
+                rr, cc = np.meshgrid(np.arange(r0, r0 + h),
+                                     np.arange(c0, c0 + w), indexing="ij")
+                data = raster_value_np(rr, cc).ravel()
+                rows.append((tile_id_of(int(trow), int(tcol)),
+                             r0, c0, h, w, data))
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA])
+
+    return idx.mapInPandas(_gen, TILE_SCHEMA)
+
+
+def materialize_raster(height: int, width: int) -> np.ndarray:
+    """Driver-side dense ndarray of the synthetic raster (test oracle /
+    broadcast-raster path)."""
+    rr, cc = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    return raster_value_np(rr, cc)
