@@ -1,0 +1,118 @@
+"""Distributed focal/convolution statistics over raster tile tables.
+
+The reference's A2 operator (``buffer_convolve``, extract_raster_buffer.py:
+68-80) convolves the WHOLE raster in one resident ndarray. The scale path
+here is tile + halo exchange (SURVEY.md A2 row): every tile is exploded to
+the (≤ 9) output tiles whose halo window it intersects, grouped by output
+tile, assembled into a padded window, and convolved with the SAME
+shift-accumulate kernel order as the single-node reference implementation
+(functions/ref_compat.convolve_extend) — so the distributed result is
+bit-identical to the whole-array result, any tiling.
+
+Shuffle cost: each tile's pixels move ≤ 9× (in practice ~1 + 4·halo/tile_px);
+nothing else shuffles. At 100 TB the tile table is the raster's native COG
+layout and this is a single self-join-shaped stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..geo_synth import RASTER_H, RASTER_W
+from ..sources.raster import TILE_SCHEMA, tile_id_of
+
+
+def convolve_valid(window: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Shift-accumulate sum-convolution/area over a pre-padded window.
+
+    Same accumulation order as ref_compat.convolve_extend; NaN→0 fill.
+    Output shape = window - kernel + 1.
+    """
+    kh, kw = kernel.shape
+    h = window.shape[0] - kh + 1
+    w = window.shape[1] - kw + 1
+    filled = np.nan_to_num(window, nan=0.0)
+    out = np.zeros((h, w))
+    for di in range(kh):
+        for dj in range(kw):
+            if kernel[di, dj] != 0:
+                out += filled[di:di + h, dj:dj + w]
+    return out / np.count_nonzero(kernel)
+
+
+def convolve_tiles(tiles: DataFrame, kernel: np.ndarray, tile_px: int,
+                   height: int = RASTER_H, width: int = RASTER_W
+                   ) -> DataFrame:
+    """Focal sum/area convolution over a tile table with halo exchange.
+
+    Returns a tile table of the same tiling containing convolved values.
+    Requires halo (kernel//2) ≤ tile_px.
+    """
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    assert ph <= tile_px and pw <= tile_px, "halo larger than tile"
+    spark = tiles.sparkSession
+    bc_kernel = spark.sparkContext.broadcast(kernel)
+    ntr = (height + tile_px - 1) // tile_px
+    ntc = (width + tile_px - 1) // tile_px
+
+    # explode: every input tile → the output-tile groups its pixels feed
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    off_col = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                        for a, b in offs])
+    trow = (F.col("row0") / tile_px).cast("int")
+    tcol = (F.col("col0") / tile_px).cast("int")
+    contrib = (tiles
+               .withColumn("_o", F.explode(off_col))
+               .withColumn("_tr", trow + F.col("_o.di"))
+               .withColumn("_tc", tcol + F.col("_o.dj"))
+               .filter((F.col("_tr") >= 0) & (F.col("_tr") < ntr)
+                       & (F.col("_tc") >= 0) & (F.col("_tc") < ntc))
+               .withColumn("out_tile",
+                           F.col("_tr").cast("long") * F.lit(1 << 32)
+                           + F.col("_tc"))
+               .drop("_o", "_tr", "_tc"))
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_tile = int(key[0])
+        otr, otc = out_tile >> 32, out_tile & 0xFFFFFFFF
+        r0 = otr * tile_px
+        c0 = otc * tile_px
+        h = min(tile_px, height - r0)
+        w = min(tile_px, width - c0)
+        kernel = bc_kernel.value
+        kh, kw = kernel.shape
+        ph, pw = kh // 2, kw // 2
+        win = np.full((h + kh - 1, w + kw - 1), np.nan)
+        wr0 = r0 - ph  # absolute raster row of win[0, 0]
+        wc0 = c0 - pw
+        for t in pdf.itertuples():
+            arr = np.asarray(t.data).reshape(t.h, t.w)
+            rr = t.row0 - wr0
+            cc = t.col0 - wc0
+            a0, a1 = max(0, -rr), min(t.h, win.shape[0] - rr)
+            b0, b1 = max(0, -cc), min(t.w, win.shape[1] - cc)
+            if a0 < a1 and b0 < b1:
+                win[rr + a0:rr + a1, cc + b0:cc + b1] = arr[a0:a1, b0:b1]
+        # replicate at raster boundary (astropy boundary='extend' semantics)
+        top = max(0, -wr0)
+        left = max(0, -wc0)
+        bot = max(0, (wr0 + win.shape[0]) - height)
+        right = max(0, (wc0 + win.shape[1]) - width)
+        if top:
+            win[:top, :] = win[top, :]
+        if bot:
+            win[-bot:, :] = win[-(bot + 1), :]
+        if left:
+            win[:, :left] = win[:, left][:, None]
+        if right:
+            win[:, -right:] = win[:, -(right + 1)][:, None]
+        out = convolve_valid(win, kernel)
+        return pd.DataFrame([{
+            "tile_id": tile_id_of(otr, otc), "row0": r0, "col0": c0,
+            "h": h, "w": w, "data": out.ravel()}])
+
+    return (contrib.groupBy("out_tile")
+            .applyInPandas(_assemble, TILE_SCHEMA))

@@ -63,6 +63,22 @@ def circle_offsets(rpx: int) -> tuple[np.ndarray, np.ndarray]:
     return dr[m], dc[m]
 
 
+def buffer_offsets(buffer_m: int, mode: str) -> tuple[np.ndarray, np.ndarray]:
+    """Membership pixel set for one buffer.
+
+    mode='canonical' — engine rule d² ≤ ceil(B/xres)² (oracle-replicable).
+    mode='ref_loop'  — the reference's exact ``points_in_circle`` set
+                       (Archived_scripts/utils.py:69-87 intceil bounds,
+                       asymmetric), radius in float pixel units B/xres.
+    """
+    if mode == "canonical":
+        return circle_offsets(radius_px(buffer_m))
+    if mode == "ref_loop":
+        from ..functions.ref_compat import ref_circle_pixel_offsets
+        return ref_circle_pixel_offsets(buffer_m / XRES)
+    raise ValueError(mode)
+
+
 def _stats_schema(buffers_m: Sequence[int]) -> T.StructType:
     fields = []
     for b in buffers_m:
@@ -80,7 +96,8 @@ _CHUNK = 8192  # rows per kernel slice: keeps (chunk × window²) temporaries
 
 
 def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
-                              buffers_m: Sequence[int]
+                              buffers_m: Sequence[int],
+                              mode: str = "canonical"
                               ) -> dict[str, np.ndarray]:
     """Specialized kernel for the synthetic *formula* raster.
 
@@ -94,7 +111,9 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
     route edge chunks through the generic path.
     """
     from ..geo_synth import VALUE_MOD, NODATA_MOD
-    rmax = max(radius_px(b) for b in buffers_m)
+    all_offs = {b: buffer_offsets(b, mode) for b in buffers_m}
+    rmax = max(int(max(abs(dr).max(), abs(dc).max()))
+               for dr, dc in all_offs.values())
     r0 = y.astype(np.int64) // XRES
     c0 = x.astype(np.int64) // XRES
     if (r0.min() < rmax or c0.min() < rmax
@@ -106,7 +125,7 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
 
     offs = {}
     for b in buffers_m:
-        dr, dc = circle_offsets(radius_px(b))
+        dr, dc = all_offs[b]
         ov = ((dr * 7919 + dc * 104729) % VALUE_MOD).astype(np.int32)
         on = ((dr * 31 + dc * 17) % NODATA_MOD).astype(np.int8)
         offs[b] = (ov, on)
@@ -143,15 +162,9 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
 
 def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
                  value_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
-                 ) -> dict[str, np.ndarray]:
+                 mode: str = "canonical") -> dict[str, np.ndarray]:
     """Evaluate all buffers for one batch. value_fn returns float64 w/ NaN."""
-    rmax = max(radius_px(b) for b in buffers_m)
-    rng = np.arange(-rmax, rmax + 1, dtype=np.int64)
-    dr, dc = np.meshgrid(rng, rng, indexing="ij")
-    dr = dr.ravel()
-    dc = dc.ravel()
-    d2 = dr * dr + dc * dc
-    sels = {b: np.flatnonzero(d2 <= radius_px(b) ** 2) for b in buffers_m}
+    offs = {b: buffer_offsets(b, mode) for b in buffers_m}
 
     n = len(x)
     out: dict[str, np.ndarray] = {}
@@ -167,27 +180,24 @@ def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
         s1 = min(s0 + _CHUNK, n)
         r0 = r0_all[s0:s1]
         c0 = c0_all[s0:s1]
-        rows = r0[:, None] + dr[None, :]
-        cols = c0[:, None] + dc[None, :]
-        vals = value_fn(rows, cols)
-        # clip to raster extent (reference clips the circle at array edges —
-        # utils.py:82-84 bounds; points in our fixtures are margin-safe)
-        if (r0.min() < rmax or c0.min() < rmax
-                or r0.max() >= RASTER_H - rmax or c0.max() >= RASTER_W - rmax):
+        for b in buffers_m:
+            dr, dc = offs[b]
+            rows = r0[:, None] + dr[None, :]
+            cols = c0[:, None] + dc[None, :]
+            vals = value_fn(rows, cols)
+            # clip to raster extent (reference clips the circle at array
+            # edges — utils.py:82-84 bounds)
             oob = ((rows < 0) | (rows >= RASTER_H)
                    | (cols < 0) | (cols >= RASTER_W))
-            vals = np.where(oob, np.nan, vals)
-        valid_all = ~np.isnan(vals)
-        for b in buffers_m:
-            sel = sels[b]
-            v = vals[:, sel]
-            valid = valid_all[:, sel]
+            if oob.any():
+                vals = np.where(oob, np.nan, vals)
+            valid = ~np.isnan(vals)
             cnt = valid.sum(axis=1)
-            s = np.where(valid, v, 0.0).sum(axis=1)
+            s = np.where(valid, vals, 0.0).sum(axis=1)
             has = cnt > 0
             mean = np.where(has, s / np.maximum(cnt, 1), np.nan)
-            mn = np.where(valid, v, np.inf).min(axis=1)
-            mx = np.where(valid, v, -np.inf).max(axis=1)
+            mn = np.where(valid, vals, np.inf).min(axis=1)
+            mx = np.where(valid, vals, -np.inf).max(axis=1)
             out[f"mean_{b}"][s0:s1] = np.where(has, mean, np.nan)
             out[f"min_{b}"][s0:s1] = np.where(has, mn, np.nan)
             out[f"max_{b}"][s0:s1] = np.where(has, mx, np.nan)
@@ -199,7 +209,7 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
                    x_col: str = "x", y_col: str = "y",
                    value_fn: Callable | None = None,
                    raster: np.ndarray | None = None,
-                   spark=None) -> DataFrame:
+                   spark=None, mode: str = "canonical") -> DataFrame:
     """Append per-buffer zonal stats columns (struct-expanded) to ``df``.
 
     ``value_fn(rows, cols) -> float64[NaN]`` defaults to the synthetic
@@ -226,9 +236,9 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
         def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
             xs, ys = x.to_numpy(), y.to_numpy()
             try:
-                res = _batch_stats_formula_fast(xs, ys, buffers_m)
+                res = _batch_stats_formula_fast(xs, ys, buffers_m, mode)
             except ValueError:  # edge window → generic (clipping) path
-                res = _batch_stats(xs, ys, buffers_m, value_fn)
+                res = _batch_stats(xs, ys, buffers_m, value_fn, mode)
             return pd.DataFrame(res)
 
         out = df.withColumn("_z", _kernel(F.col(x_col), F.col(y_col)))
@@ -238,7 +248,8 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
 
     @F.pandas_udf(schema)
     def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
-        res = _batch_stats(x.to_numpy(), y.to_numpy(), buffers_m, value_fn)
+        res = _batch_stats(x.to_numpy(), y.to_numpy(), buffers_m, value_fn,
+                           mode)
         return pd.DataFrame(res)
 
     out = df.withColumn("_z", _kernel(F.col(x_col), F.col(y_col)))

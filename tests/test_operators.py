@@ -1,0 +1,162 @@
+"""Cross-strategy equivalence tests: every operator's scale-path physical
+strategy must produce bit-identical results to its oracle-verified default
+(SURVEY.md §5 items 2 and 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from air_health_gis_tools_spark import geo_synth as G
+from air_health_gis_tools_spark.functions.cells import hex_assign_np
+from air_health_gis_tools_spark.functions.geocode import with_xy
+from air_health_gis_tools_spark.operators.knn import (knn_broadcast_np,
+                                                      knn_cell_join,
+                                                      knn_ring_np)
+from air_health_gis_tools_spark.operators.pip import (pip_polygon_counts,
+                                                      points_in_polygon_np)
+from air_health_gis_tools_spark.operators.zonal import (buffered_stats,
+                                                        buffered_stats_tiled)
+from air_health_gis_tools_spark.sources.raster import synthetic_tile_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = with_xy(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    return df.select("doc_id", "x", "y").cache()
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_tiled_zonal_equals_formula_kernel(spark, pts):
+    """Scale path (tile table + cogroup partial/final agg) == broadcast/
+    formula kernel, bit for bit."""
+    tiles = synthetic_tile_table(spark, tile_px=256)
+    a = _sorted_pdf(buffered_stats_tiled(pts, tiles, list(G.BUFFERS_M), 256))
+    b = _sorted_pdf(buffered_stats(pts, list(G.BUFFERS_M))
+                    .select(a.columns.tolist()))
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(np.nan_to_num(av, nan=-1.0),
+                                  np.nan_to_num(bv, nan=-1.0)), c
+        else:
+            assert np.array_equal(av, bv), c
+
+
+def test_knn_three_strategies_agree(spark, pts):
+    ids = np.arange(G.N_MONITORS, dtype=np.int64)
+    mx, my = G.monitor_xy_np(ids)
+    from air_health_gis_tools_spark.plans.queries import monitors_df
+    a = _sorted_pdf(knn_cell_join(pts, monitors_df(spark), G.KNN_BOUND_M)
+                    .select("doc_id", "monitor_id", "dist_m"))
+    b = _sorted_pdf(knn_broadcast_np(pts, (mx, my, ids), G.KNN_BOUND_M)
+                    .select("doc_id", "monitor_id", "dist_m"))
+    c = _sorted_pdf(knn_ring_np(pts, (mx, my, ids), G.KNN_BOUND_M)
+                    .select("doc_id", "monitor_id", "dist_m"))
+    for other, name in ((b, "broadcast"), (c, "ring")):
+        pd.testing.assert_frame_equal(a, other, check_dtype=False,
+                                      obj=f"cell_join vs {name}")
+
+
+def test_knn_ring_expands_past_first_hit():
+    """A nearer monitor in ring k+1 must beat a ring-k hit (SURVEY §7.4.6)."""
+    # point near the right edge of its cell; monitor A in same cell but far
+    # left; monitor B in next cell, just across the boundary (closer).
+    cell = 50_000
+    px, py = 2 * cell - 10, cell // 2          # 10 m left of cell border
+    ax, ay = cell + 5, cell // 2               # same cell, ~49 995 m away
+    bx, by = 2 * cell + 500, cell // 2         # next cell, 510 m away
+    import pandas as pdl
+    from air_health_gis_tools_spark.session import get_spark
+    spark = get_spark("ring-test", cpus=2)
+    pdf = spark.createDataFrame(pdl.DataFrame(
+        {"doc_id": [1], "x": [px], "y": [py]}))
+    out = knn_ring_np(pdf, (np.array([ax, bx]), np.array([ay, by]),
+                            np.array([10, 20])), bound_m=cell,
+                      cell_m=cell).toPandas()
+    assert out["monitor_id"].iloc[0] == 20
+    assert out["dist_m"].iloc[0] == pytest.approx(510.0)
+
+
+def _octagon(cx, cy, r):
+    ang = np.arange(8) * (2 * np.pi / 8)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def test_ray_casting_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    poly = _octagon(0.0, 0.0, 10.0)
+    px = rng.uniform(-15, 15, 500)
+    py = rng.uniform(-15, 15, 500)
+    got = points_in_polygon_np(px, py, poly[:, 0], poly[:, 1])
+
+    def scalar_pip(x, y):  # classic crossing-number reference
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    want = np.array([scalar_pip(x, y) for x, y in zip(px, py)])
+    assert np.array_equal(got, want)
+
+
+def test_pip_polygon_counts_vs_bruteforce(spark, pts):
+    ids = np.arange(10, dtype=np.int64)
+    cx, cy, r = G.poly_circle_np(ids)
+    polys = {int(i): _octagon(float(cx[i]), float(cy[i]), float(r[i]))
+             for i in ids}
+    got = pip_polygon_counts(pts, polys).toPandas() \
+        .set_index("poly_id")["n_points"].to_dict()
+    pdf = pts.toPandas()
+    for i in ids:
+        v = polys[int(i)]
+        want = int(points_in_polygon_np(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+            v[:, 0], v[:, 1]).sum())
+        assert got.get(int(i), 0) == want, f"poly {i}"
+
+
+def test_hex_assignment_is_true_nearest_center():
+    """Voronoi property: the chosen center is the argmin over a wide brute-
+    force neighborhood (not just the 16-candidate window)."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(50_000, 200_000, 300).astype(np.int64)
+    y = rng.integers(50_000, 200_000, 300).astype(np.int64)
+    for res, (w, h) in G.HEX_PITCH.items():
+        cell = hex_assign_np(x, y, res)
+        i = (cell >> G.HEX_I_SHIFT) & ((1 << G.HEX_I_SHIFT) - 1)
+        j = cell & ((1 << G.HEX_I_SHIFT) - 1)
+        d_best = (x - i * w) ** 2 + (y - j * h) ** 2
+        # brute force over a 9x9 center neighborhood
+        i0 = x // w
+        j0 = y // h
+        best = np.full(len(x), np.iinfo(np.int64).max)
+        for di in range(-4, 5):
+            for dj in range(-4, 5):
+                ii, jj = i0 + di, j0 + dj
+                ok = (ii + jj) % 2 == 0
+                d = (x - ii * w) ** 2 + (y - jj * h) ** 2
+                best = np.where(ok & (d < best), d, best)
+        assert np.array_equal(d_best, best), f"res {res}"
+
+
+def test_zonal_deterministic_across_partitionings(spark, pts):
+    outs = []
+    for n in (1, 8):
+        df = buffered_stats(pts.repartition(n), list(G.BUFFERS_M))
+        outs.append(_sorted_pdf(df.select("doc_id", "mean_10000",
+                                          "n_valid_10000")))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
