@@ -1,0 +1,107 @@
+"""The end-to-end extraction pipeline (north_star shape) + kernel planner.
+
+Spark lifecycle replacing the reference's three entry points (SURVEY.md §3):
+
+    pages scan → geocode UDF → cell-encode (hex r7-9 + square) →
+    salted repartition on cell prefix (urban-skew defeat) →
+    [buffered zonal stats | kNN monitor | PIP exposure polygons] →
+    final projection (wide per-buffer columns) → sink (+ lineage/metrics)
+
+``choose_zonal_strategy`` is the engine's only planner: the Python-side
+re-expression of the reference's Method 1/Method 2 gate
+(extract_raster_buffer.py:20-26, :182, :223 — convolve-then-warp vs
+warp-then-convolve chosen from buffer vs resolutions) generalized to the
+Spark physical strategies: broadcast kernel vs tile cogroup vs full
+convolution precompute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import geo_synth as G
+from ..functions.cells import hex_cell_udf
+from ..functions.geocode import with_xy
+from ..operators.knn import knn_cell_join
+from ..operators.pip import pip_circle_counts
+from ..operators.zonal import buffered_stats, buffered_stats_tiled
+
+
+@dataclass
+class ZonalPlan:
+    strategy: str   # 'broadcast' | 'tiled' | 'convolve_all'
+    reason: str
+
+
+def choose_zonal_strategy(raster_px: int, n_points: int,
+                          n_buffers: int, executor_mem_bytes: int = 4 << 30,
+                          ) -> ZonalPlan:
+    """O1/O2-style cost gate, decided BEFORE plan construction (mirroring
+    where the reference does it — driver-side Python, not a Catalyst rule).
+
+    - raster fits comfortably in one executor → broadcast kernel
+      (zero shuffle; the reference's whole-raster-resident regime).
+    - raster too large → tile cogroup partial/final (shuffle = points +
+      partials only).
+    - points ≫ pixels × buffers → precompute the full focal convolution
+      once and gather per point (the reference's Method-1 insight: when
+      every pixel will be visited many times, convolve once).
+    """
+    raster_bytes = raster_px * 8
+    if n_points > 4 * raster_px:
+        return ZonalPlan("convolve_all",
+                         f"{n_points} points >> {raster_px} px: convolve "
+                         "whole raster once, then gather (O1 Method 1)")
+    if raster_bytes <= executor_mem_bytes // 4:
+        return ZonalPlan("broadcast",
+                         f"raster {raster_bytes >> 20} MiB fits executor: "
+                         "broadcast kernel, zero shuffle")
+    return ZonalPlan("tiled",
+                     f"raster {raster_bytes >> 20} MiB exceeds executor "
+                     "budget: tile cogroup partial/final agg")
+
+
+def extract_pipeline(pages: DataFrame, monitors: DataFrame,
+                     polys: DataFrame, buffers_m=None,
+                     salt_buckets: int = 64,
+                     tiles: DataFrame | None = None,
+                     tile_px: int = 256,
+                     n_points_estimate: int = 1_000_000
+                     ) -> dict[str, DataFrame]:
+    """Full extraction over a pages table. Returns the three result tables.
+
+    The ``url`` → results tables keep ``text`` untouched (byte-identity
+    invariant) — stats are joined back by url, never carried through
+    kernels.
+    """
+    buffers_m = list(buffers_m or G.BUFFERS_M)
+    pts = with_xy(pages.withColumn(
+        "doc_id",
+        F.expr("CAST(regexp_extract(url, '/page/(\\\\d+)$', 1) AS BIGINT)")),
+        id_col="doc_id")
+    pts = pts.withColumn("cell_hex_7", hex_cell_udf(7)(F.col("x"), F.col("y")))
+    pts = pts.withColumn("cell_hex_8", hex_cell_udf(8)(F.col("x"), F.col("y")))
+    pts = pts.withColumn("cell_hex_9", hex_cell_udf(9)(F.col("x"), F.col("y")))
+    # salted repartition on cell prefix: urban clusters share cells, the
+    # salt spreads each hot cell over many buckets (SURVEY.md §7.4.4)
+    pts = pts.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    pts = pts.repartition(F.col("cell_hex_7"), F.col("salt"))
+    slim = pts.select("url", "doc_id", "x", "y",
+                      "cell_hex_7", "cell_hex_8", "cell_hex_9")
+
+    plan = choose_zonal_strategy(G.RASTER_W * G.RASTER_H,
+                                 n_points=n_points_estimate,
+                                 n_buffers=len(buffers_m))
+    if tiles is not None:
+        zon = buffered_stats_tiled(slim, tiles, buffers_m, tile_px,
+                                   id_col="doc_id")
+        zon = slim.select("url", "doc_id").join(zon, "doc_id")
+    else:
+        zon = buffered_stats(slim, buffers_m)
+    knn = knn_cell_join(slim, monitors, G.KNN_BOUND_M)
+    pip = pip_circle_counts(slim, polys)
+    return {"zonal": zon, "knn": knn, "pip": pip, "points": slim,
+            "plan": plan}

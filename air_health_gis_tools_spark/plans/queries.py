@@ -601,8 +601,157 @@ FROM best7 WHERE rn = 1 GROUP BY cell_hex_7
 
 
 # --------------------------------------------------------------------------
+# q25 semi-join (P6 grid-extent-mask semantics: EXISTS)
+# --------------------------------------------------------------------------
+
+def q25_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    mons = monitors_df(spark)
+    near = radius_count(pts, mons, RADIUS_M).filter(F.col("n_in_radius") > 0)
+    return (pts.join(near.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "lang"))
+
+
+def q25_sql() -> str:
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+mons AS ({_mons_cte('duckdb')})
+SELECT d.doc_id, d.lang
+FROM documents d JOIN pts p USING (doc_id)
+WHERE EXISTS (
+  SELECT 1 FROM mons m
+  WHERE (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my)
+        <= {RADIUS_M * RADIUS_M})
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 anti-join (NOT EXISTS)
+# --------------------------------------------------------------------------
+
+def q26_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = docs_xy(spark, sf_dir)
+    hit = (knn_cell_join(pts, monitors_df(spark), G.KNN_BOUND_M)
+           .filter(F.col("monitor_id").isNotNull()).select("doc_id"))
+    return (pts.join(hit, "doc_id", "left_anti")
+            .select("doc_id", "x", "y"))
+
+
+def q26_sql() -> str:
+    b2 = G.KNN_BOUND_M ** 2
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+mons AS ({_mons_cte('duckdb')})
+SELECT p.doc_id, p.x, p.y FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM mons m
+  WHERE (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my) <= {b2})
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 k-NN top-k via window (the validation fallback of SURVEY §2.5 top-k)
+# --------------------------------------------------------------------------
+
+def q27_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    pts = docs_xy(spark, sf_dir)
+    mons = monitors_df(spark)
+    from ..operators.knn import _neighbor_cells
+    cand = (_neighbor_cells(pts.select("doc_id", "x", "y"), G.KNN_BOUND_M,
+                            "x", "y")
+            .join(F.broadcast(mons.withColumn(
+                "cell",
+                (F.col("mx") / G.KNN_BOUND_M).cast("long") * F.lit(1 << 32)
+                + (F.col("my") / G.KNN_BOUND_M).cast("long"))), "cell"))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    cand = (cand.withColumn("d2", dx * dx + dy * dy)
+            .filter(F.col("d2") <= F.lit(G.KNN_BOUND_M) ** 2))
+    w = W.partitionBy("doc_id").orderBy(F.col("d2"), F.col("monitor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "rank", "monitor_id",
+                    F.sqrt(F.col("d2")).alias("dist_m")))
+
+
+def q27_sql() -> str:
+    b2 = G.KNN_BOUND_M ** 2
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+mons AS ({_mons_cte('duckdb')}),
+cand AS (
+  SELECT p.doc_id, m.monitor_id,
+         (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my) AS d2
+  FROM pts p CROSS JOIN mons m
+),
+ranked AS (
+  SELECT doc_id, monitor_id, d2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, monitor_id)
+           AS rank
+  FROM cand WHERE d2 <= {b2}
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, monitor_id,
+       sqrt(CAST(d2 AS DOUBLE)) AS dist_m
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 sort + limit (top-k docs by quality; SURVEY §2.5 limit)
+# --------------------------------------------------------------------------
+
+def q28_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (q15_token_quality(spark, sf_dir)
+            .orderBy(F.col("quality").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+def q28_sql() -> str:
+    return q15_sql() + " ORDER BY quality DESC, doc_id LIMIT 20"
+
+
+# --------------------------------------------------------------------------
+# q29 union + distinct (SURVEY §2.5 set ops)
+# --------------------------------------------------------------------------
+
+def q29_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("value") >= 90).select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (a.unionByName(b).distinct()
+            .select("user_id").orderBy("user_id"))
+
+
+def q29_sql() -> str:
+    return """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE value >= 90
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'error'
+) ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
+
+def q30_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.s2 import s2_cell_udf
+    pts = docs_xy(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        s2_cell_udf(10)(F.col("x"), F.col("y")).alias("cell_s2_10"),
+        s2_cell_udf(14)(F.col("x"), F.col("y")).alias("cell_s2_14"))
+
+
+def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features, synthetic_media
+    media = synthetic_media(spark, 200)
+    return (extract_features(media)
+            .groupBy("kind").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("n_bytes").alias("total_bytes")))
 
 def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -661,6 +810,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_lang_id": q22_lang_id,
     "q23_simhash_nn": q23_simhash_nn,
     "q24_ann_lsh": q24_ann_lsh,
+    "q25_semi_join": q25_semi_join,
+    "q26_anti_join": q26_anti_join,
+    "q27_knn_top3": q27_knn_top3,
+    "q28_topk_quality": q28_topk_quality,
+    "q29_union_distinct": q29_union_distinct,
+    "q30_s2_cells": q30_s2_cells,
+    "q31_multimodal_features": q31_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -685,4 +841,9 @@ ORACLES: dict[str, str] = {
     "q19_lineitem_agg": q19_sql(),
     "q20_events_hourly": q20_sql(),
     "q21_hex_rollup": q21_sql(),
+    "q25_semi_join": q25_sql(),
+    "q26_anti_join": q26_sql(),
+    "q27_knn_top3": q27_sql(),
+    "q28_topk_quality": q28_sql(),
+    "q29_union_distinct": q29_sql(),
 }

@@ -35,6 +35,9 @@ from air_health_gis_tools_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling-evidence runs multiply the point set so per-core compute dominates
+# scheduler overhead (same inputs, deterministic ids)
+POINT_MULT = int(os.environ.get("SPARK_GRAFT_POINT_MULT", "1"))
 
 
 def bench_points(spark):
@@ -42,12 +45,18 @@ def bench_points(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     ids = li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"))
+    # the parquet file is one row group → the scan is ~3 tasks no matter the
+    # core count. Shuffle the SMALL id set first (SURVEY.md §4 O7 ingest
+    # repartition), then do all row amplification and column derivation
+    # post-shuffle so generation parallelizes across every core.
+    ids = ids.repartition(CPUS * 2)
+    if POINT_MULT > 1:
+        reps = F.explode(F.array(*[F.lit(i) for i in range(POINT_MULT)]))
+        ids = (ids.withColumn("rep", reps)
+               .select((F.col("doc_id") * POINT_MULT + F.col("rep"))
+                       .alias("doc_id")))
     x, y = G.point_xy_sql("doc_id", "spark")
-    # parquet arrives in ~3 splits; fan out to the full core count before
-    # the Arrow kernels (at cluster scale this is the explicit repartition
-    # on ingest that SURVEY.md §4 O7 calls for)
-    return (ids.repartition(CPUS * 2)
-            .select("doc_id", F.expr(x).alias("x"), F.expr(y).alias("y")))
+    return ids.select("doc_id", F.expr(x).alias("x"), F.expr(y).alias("y"))
 
 
 def main():
@@ -63,7 +72,12 @@ def main():
         (F.col("id") % 1000 + 100_000).alias("y"))
     buffered_stats(warm, [1000]).select(F.sum("n_valid_1000")).collect()
 
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    only = set(only.split(",")) if only else None
+
     def run(name, fn):
+        if only is not None and name not in only:
+            return
         fn()  # warmup pass: JVM JIT + codegen + shuffle-file cache
         t0 = time.perf_counter()
         fn()  # steady-state measurement
@@ -88,7 +102,7 @@ def main():
     run("q01_docs_table", lambda: Q.q01_buffered_stats(spark, SF_DIR)
         .select(F.sum("n_valid_10000")).collect())
 
-    flagship = timings["q01_zonal_600k"]
+    flagship = timings.get("q01_zonal_600k", float("nan"))
     print(json.dumps({
         "metric": "headline query suite wall time",
         "value": round(sum(timings.values()), 3),

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (north_rule: ≥0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so per the driver's protocol the
+same job runs at two parallelism levels — local[N] and local[4N] — on
+identical input, each in a FRESH JVM (subprocess), and we report throughput
+at both plus efficiency = (T_N / T_4N) / 4.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python bench_scaling.py [N]   (default N=8 → compares 8 vs 32)
+Point multiplier defaults to 8 (4.8M points) so per-core compute dominates
+scheduler overhead; override with SPARK_GRAFT_POINT_MULT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+# the north_rule metric is spatial-join + buffer-extraction throughput;
+# scaling evidence measures those operators (the text/similarity micro-
+# queries are overhead-dominated at any scale worth running in-sandbox)
+SCALING_QUERIES = ("q01_zonal_600k,q06_knn_600k,q07_pip_600k,"
+                   "q09_radius_600k,q21_hex_rollup_600k")
+
+
+def run_bench(cpus: int, mult: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_POINT_MULT=str(mult),
+               SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES",
+                                                  SCALING_QUERIES))
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    mult = int(os.environ.get("SPARK_GRAFT_POINT_MULT", "32"))
+    lo = run_bench(n, mult)
+    hi = run_bench(4 * n, mult)
+
+    rows = []
+    for q in lo["queries"]:
+        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
+        eff = (t_lo / t_hi) / 4 if t_hi > 0 else float("nan")
+        rows.append((q, t_lo, t_hi, round(eff, 3)))
+    total_lo = sum(lo["queries"].values())
+    total_hi = sum(hi["queries"].values())
+    eff_total = round((total_lo / total_hi) / 4, 3)
+    npts = lo["n_points"]
+
+    md = [
+        "# BENCH — scaling-efficiency evidence (north_rule)",
+        "",
+        "Protocol (BASELINE.md): identical job, identical input, two",
+        f"parallelism levels in fresh JVMs — `local[{n}]` vs `local[{4*n}]`",
+        f"(N vs 4N). Steady-state timings (warmup pass per query). Input:",
+        f"{npts:,} points derived from sf0.1 lineitem "
+        f"(POINT_MULT={mult}), plus documents/embeddings tables.",
+        "",
+        f"| query | local[{n}] sec | local[{4*n}] sec | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for q, a, b, e in rows:
+        md.append(f"| {q} | {a} | {b} | {e} |")
+    md += [
+        f"| **suite total** | {round(total_lo, 2)} | {round(total_hi, 2)} "
+        f"| **{eff_total}** |",
+        "",
+        f"- zonal throughput: {round(npts / lo['queries']['q01_zonal_600k'])}"
+        f" pts/s at local[{n}] → "
+        f"{round(npts / hi['queries']['q01_zonal_600k'])} pts/s at "
+        f"local[{4*n}]",
+        "",
+        "## vs reference baseline (BASELINE.md)",
+        "",
+        "Reference flagship (extract_raster_buffer.py FFT convolution):",
+        "~100M pixel-visits in 20s = 5M px/s single-node (README.md:88-91).",
+        f"This engine's zonal kernel at local[{4*n}]: "
+        f"{round(npts / hi['queries']['q01_zonal_600k'])} points/s × ~327 "
+        "pixel-visits/point (3 radii) = "
+        f"{round(npts / hi['queries']['q01_zonal_600k'] * 327 / 1e6, 1)}M "
+        "pixel-visits/s.",
+    ]
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+
+    print(json.dumps({
+        "metric": "throughput scaling efficiency N->4N",
+        "value": eff_total,
+        "unit": "efficiency",
+        "n": n, "four_n": 4 * n,
+        "suite_sec": {f"local[{n}]": round(total_lo, 2),
+                      f"local[{4*n}]": round(total_hi, 2)},
+        "per_query_efficiency": {q: e for q, _, _, e in rows},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,8 @@ def test_every_oracle_key_has_query():
 
 
 @pytest.mark.parametrize("name", ["q22_lang_id", "q23_simhash_nn",
-                                  "q24_ann_lsh"])
+                                  "q24_ann_lsh", "q30_s2_cells",
+                                  "q31_multimodal_features"])
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     df.collect()  # must execute without error (row count may be 0)

@@ -1,0 +1,130 @@
+"""End-to-end pipeline, lineage/resume, streaming parity, pages fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from air_health_gis_tools_spark import geo_synth as G
+from air_health_gis_tools_spark.plans.lineage import (CheckpointStore,
+                                                      metrics_df, run_stage)
+from air_health_gis_tools_spark.plans.pipeline import (choose_zonal_strategy,
+                                                       extract_pipeline)
+from air_health_gis_tools_spark.plans.queries import monitors_df, polys_df
+from air_health_gis_tools_spark.sources.pages import synthetic_pages
+from air_health_gis_tools_spark.streaming.events import (events_hourly_batch,
+                                                         run_stream_once)
+from tests.conftest import SF_DIR
+
+
+def test_pages_fixture_deterministic(spark):
+    a = synthetic_pages(spark, 500).toPandas().sort_values("url")
+    b = synthetic_pages(spark, 500).toPandas().sort_values("url")
+    assert (a["text"].to_numpy() == b["text"].to_numpy()).all()
+    assert a["html"].iloc[0] == f"<html><body>{a['text'].iloc[0]}</body></html>".encode()
+    assert set(a["lang"]) == {"en", "de", "fr"}
+
+
+def test_pipeline_end_to_end_with_text_byte_identity(spark):
+    pages = synthetic_pages(spark, 1000)
+    src_digest = {r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+                  for r in pages.select("url", "text").collect()}
+    out = extract_pipeline(pages, monitors_df(spark), polys_df(spark))
+    zon = out["zonal"].select("url", "mean_10000", "n_valid_10000").collect()
+    assert len(zon) == 1000
+    assert all(r["n_valid_10000"] > 0 for r in zon)
+    knn = out["knn"].collect()
+    assert len(knn) == 1000
+    pip_total = sum(r["n_points"] for r in out["pip"].collect())
+    assert pip_total >= 0
+    # byte-identity: re-read text from the same pages plan; untouched
+    after = {r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+             for r in pages.select("url", "text").collect()}
+    assert after == src_digest
+
+
+def test_pipeline_geocode_regex_vs_fallback_consistent(spark):
+    """Pages carrying the coordinate phrase parse to exactly the id-derived
+    coords (fixture embeds the same derivation), so both geocode paths
+    agree — and the pipeline's x,y match geo_synth."""
+    from air_health_gis_tools_spark.functions.geocode import with_xy
+    pages = synthetic_pages(spark, 300).withColumn(
+        "doc_id",
+        F.expr("CAST(regexp_extract(url, '/page/(\\\\d+)$', 1) AS BIGINT)"))
+    got = with_xy(pages).select("doc_id", "x", "y").toPandas() \
+        .sort_values("doc_id")
+    ex, ey = G.point_xy_np(got["doc_id"].to_numpy())
+    assert np.array_equal(got["x"].to_numpy(), ex)
+    assert np.array_equal(got["y"].to_numpy(), ey)
+
+
+def test_zonal_strategy_planner():
+    assert choose_zonal_strategy(10**6, 10**7, 3).strategy == "convolve_all"
+    assert choose_zonal_strategy(16 * 10**6, 10**5, 3).strategy == "broadcast"
+    assert choose_zonal_strategy(10**11, 10**6, 3).strategy == "tiled"
+
+
+def test_lineage_resume(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(4)))
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    # simulate a partial run: only buckets 0 and 1 complete
+    run_stage(docs, "bucket", store, buckets=[0, 1])
+    assert set(store.done_buckets()) == {"0", "1"}
+    m1 = {k: v["rows"] for k, v in store.done_buckets().items()}
+    # resume: full bucket list; 0/1 must be skipped (metrics unchanged)
+    out = run_stage(docs, "bucket", store, buckets=[0, 1, 2, 3])
+    assert out.count() == docs.count()
+    done = store.done_buckets()
+    assert set(done) == {"0", "1", "2", "3"}
+    assert {k: done[k]["rows"] for k in m1} == m1
+    met = metrics_df(spark, store).toPandas()
+    assert met["rows"].sum() == docs.count()
+
+
+def _stage_events_dir(tmp_path) -> str:
+    """File-source streaming requires a directory of files."""
+    import shutil
+    d = tmp_path / "events_src"
+    d.mkdir(exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_hourly_equals_batch(spark, tmp_path):
+    src = _stage_events_dir(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    run_stream_once(spark, src, out, ckpt)
+    got = (spark.read.parquet(out)
+           .orderBy("hour", "event_type").toPandas())
+    events = spark.read.parquet(src)
+    want = events_hourly_batch(events).orderBy("hour", "event_type").toPandas()
+    # append mode emits a window only once the watermark (max_ts - 2h)
+    # passes its END; the trailing windows stay in state — by design
+    import pandas as pd
+    max_ts = events.agg(F.max("ts")).head()[0]
+    cutoff = max_ts - pd.Timedelta(hours=2)
+    emittable = want[want["hour"] + pd.Timedelta(hours=1) <= cutoff]
+    assert len(got) == len(emittable)
+    m = got.merge(emittable, on=["hour", "event_type"],
+                  suffixes=("_s", "_b"))
+    assert len(m) == len(got)
+    assert (m["n_s"] == m["n_b"]).all()
+    assert (m["min_value_s"] == m["min_value_b"]).all()
+    assert (m["max_value_s"] == m["max_value_b"]).all()
+
+
+def test_streaming_checkpoint_is_restartable(spark, tmp_path):
+    src = _stage_events_dir(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    run_stream_once(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # second run with same checkpoint: no new input → no duplicate output
+    run_stream_once(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
