@@ -50,8 +50,16 @@ def minhash_signature(docs: DataFrame, n: int = 5, k: int = 4,
     md5-based permutations keep the construction engine-portable (string
     min), at the cost of hashing k× — acceptable because shingling dominates.
     Output: (doc_id, mh_0..mh_{k-1}).
+
+    NOTE: no ``distinct`` on the shingle stream — MIN is duplicate-
+    insensitive, and skipping it removes a whole shuffle; the only shuffle
+    left is the map-side-combined groupBy(doc_id), which moves k hashes per
+    document regardless of document length.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    g = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"p -> substring({text_col}, p, {n}))")
+    sh = docs.select(id_col, F.explode(g).alias("shingle"))
     aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle"))))
             .alias(f"mh_{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)

@@ -68,16 +68,23 @@ def knn_cell_join(points: DataFrame, monitors: DataFrame, bound_m: int,
 
     dx = F.col(x_col) - F.col(mx_col)
     dy = F.col(y_col) - F.col(my_col)
-    d2 = (dx * dx + dy * dy).alias("d2")
-    cand = (pts.join(F.broadcast(mons), "cell")
-            .select(id_col, x_col, y_col, mon_id_col, d2)
-            .filter(F.col("d2") <= F.lit(bound_m) ** 2))
-    best = (cand.groupBy(id_col)
-            .agg(F.min(F.struct(F.col("d2"), F.col(mon_id_col))).alias("b"))
-            .select(id_col, F.col(f"b.{mon_id_col}").alias(mon_id_col),
+    d2 = dx * dx + dy * dy
+    # LEFT join keeps no-match points in-flow (no join-back stage needed);
+    # candidates outside the bound collapse to NULL structs that min()
+    # skips. The min(struct) is partial-aggregable, and the 9 exploded rows
+    # of a point are co-located, so the map-side partial agg collapses them
+    # BEFORE the shuffle: exactly one row per point crosses the wire.
+    cand = (pts.join(F.broadcast(mons), "cell", "left")
+            .select(id_col, x_col, y_col,
+                    F.when(d2 <= F.lit(bound_m) ** 2,
+                           F.struct(d2.alias("d2"), F.col(mon_id_col)))
+                    .alias("c")))
+    return (cand.groupBy(id_col)
+            .agg(F.first(x_col).alias(x_col), F.first(y_col).alias(y_col),
+                 F.min("c").alias("b"))
+            .select(id_col, x_col, y_col,
+                    F.col(f"b.{mon_id_col}").alias(mon_id_col),
                     F.sqrt(F.col("b.d2")).alias("dist_m")))
-    return (points.select(id_col, x_col, y_col)
-            .join(best, id_col, "left"))
 
 
 def knn_broadcast_np(points: DataFrame, mon_xy_ids: tuple[np.ndarray, ...],

@@ -120,13 +120,13 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
             or r0.max() >= RASTER_H - rmax or c0.max() >= RASTER_W - rmax):
         raise ValueError("edge window; use generic path")
 
-    base_v = ((r0 * 7919 + c0 * 104729) % VALUE_MOD).astype(np.int32)
+    base_v = ((r0 * 7919 + c0 * 104729) % VALUE_MOD).astype(np.int16)
     base_n = ((r0 * 31 + c0 * 17) % NODATA_MOD).astype(np.int8)
 
     offs = {}
     for b in buffers_m:
         dr, dc = all_offs[b]
-        ov = ((dr * 7919 + dc * 104729) % VALUE_MOD).astype(np.int32)
+        ov = ((dr * 7919 + dc * 104729) % VALUE_MOD).astype(np.int16)
         on = ((dr * 31 + dc * 17) % NODATA_MOD).astype(np.int8)
         offs[b] = (ov, on)
 
@@ -144,13 +144,18 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
         bn = base_n[s0:s1]
         for b in buffers_m:
             ov, on = offs[b]
+            # int16 lattice (values < 2*VALUE_MOD < 2^15): halves the DRAM
+            # traffic of the bandwidth-bound inner loop; mask-multiply for
+            # the sum and np.where for min/max are the SIMD-friendly forms
+            # (np.ufunc.reduce(where=...) falls off the vector path)
             vr = bv[:, None] + ov[None, :]
-            np.subtract(vr, VALUE_MOD, out=vr, where=vr >= VALUE_MOD)
-            nod = ((bn[:, None] + on[None, :]) & (NODATA_MOD - 1)) == 0
-            cnt = len(ov) - nod.sum(axis=1)
-            s = np.where(nod, 0, vr).sum(axis=1, dtype=np.int64)
-            mn = np.where(nod, np.int32(VALUE_MOD), vr).min(axis=1)
-            mx = np.where(nod, np.int32(-1), vr).max(axis=1)
+            np.subtract(vr, np.int16(VALUE_MOD), out=vr,
+                        where=vr >= VALUE_MOD)
+            ok = ((bn[:, None] + on[None, :]) & (NODATA_MOD - 1)) != 0
+            cnt = ok.sum(axis=1)
+            s = (vr * ok).sum(axis=1, dtype=np.int64)
+            mn = np.where(ok, vr, np.int16(VALUE_MOD)).min(axis=1)
+            mx = np.where(ok, vr, np.int16(-1)).max(axis=1)
             has = cnt > 0
             out[f"mean_{b}"][s0:s1] = np.where(
                 has, s / np.maximum(cnt, 1), np.nan)

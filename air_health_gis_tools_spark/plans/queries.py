@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import geo_synth as G
@@ -734,6 +736,109 @@ SELECT DISTINCT user_id FROM (
 
 
 # --------------------------------------------------------------------------
+# q32 exact n-gram Jaccard over LSH candidates (near-dup verification stage)
+# --------------------------------------------------------------------------
+
+def q32_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = DD.minhash_signature(docs, n=5, k=8)
+    pairs = DD.lsh_candidate_pairs(sig, bands=2)
+    return DD.ngram_jaccard(docs, pairs, n=5)
+
+
+def q32_sql() -> str:
+    mins = ",\n  ".join(
+        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(8))
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sig AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh_0 || mh_1 || mh_2 || mh_3 AS val FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4 || mh_5 || mh_6 || mh_7 AS val FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id1
+  JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+  GROUP BY p.id1, p.id2
+)
+SELECT p.id1, p.id2,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(s1.sz + s2.sz - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+JOIN sizes s1 ON s1.doc_id = p.id1
+JOIN sizes s2 ON s2.doc_id = p.id2
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 convolution-semantics gather (A2: kernel-area division, NaN→0,
+# the reference's create_buffer mask incl. its +1 quirk)
+# --------------------------------------------------------------------------
+
+A2_RADIUS_PX = 10  # 10 km at 1 km pixels
+
+
+def _a2_mask_offsets():
+    from ..functions.ref_compat import ref_create_buffer_mask
+    m = ref_create_buffer_mask(A2_RADIUS_PX)
+    rr, cc = np.nonzero(m)
+    return (rr - (A2_RADIUS_PX - 1), cc - (A2_RADIUS_PX - 1))
+
+
+def q33_convolve_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from ..geo_synth import NODATA_MOD, VALUE_MOD, XRES
+    dr, dc = _a2_mask_offsets()
+    k = len(dr)
+    ov = ((dr * 7919 + dc * 104729) % VALUE_MOD).astype(np.int64)
+    on = ((dr * 31 + dc * 17) % NODATA_MOD).astype(np.int64)
+
+    @F.pandas_udf(T.DoubleType())
+    def _a2(x: pd.Series, y: pd.Series) -> pd.Series:
+        r0 = y.to_numpy(np.int64) // XRES
+        c0 = x.to_numpy(np.int64) // XRES
+        bv = (r0 * 7919 + c0 * 104729) % VALUE_MOD
+        bn = (r0 * 31 + c0 * 17) % NODATA_MOD
+        vr = (bv[:, None] + ov[None, :]) % VALUE_MOD
+        nod = ((bn[:, None] + on[None, :]) % NODATA_MOD) == 0
+        s = np.where(nod, 0, vr).sum(axis=1)
+        return pd.Series(s / float(k))
+
+    pts = docs_xy(spark, sf_dir)
+    return pts.select("doc_id", _a2(F.col("x"), F.col("y")).alias("focal_density"))
+
+
+def q33_sql() -> str:
+    dr, dc = _a2_mask_offsets()
+    k = len(dr)
+    vals = ",".join(f"({int(a)},{int(b)})" for a, b in zip(dr, dc))
+    val = G.raster_value_sql("(p.y // 1000) + o.dr", "(p.x // 1000) + o.dc")
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+offs(dr, dc) AS (VALUES {vals})
+SELECT p.doc_id,
+       sum(COALESCE({val}, 0)) / CAST({k} AS DOUBLE) AS focal_density
+FROM pts p CROSS JOIN offs o
+GROUP BY p.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
 
@@ -817,6 +922,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_union_distinct": q29_union_distinct,
     "q30_s2_cells": q30_s2_cells,
     "q31_multimodal_features": q31_multimodal_features,
+    "q32_jaccard_pairs": q32_jaccard_pairs,
+    "q33_convolve_gather": q33_convolve_gather,
 }
 
 ORACLES: dict[str, str] = {
@@ -846,4 +953,6 @@ ORACLES: dict[str, str] = {
     "q27_knn_top3": q27_sql(),
     "q28_topk_quality": q28_sql(),
     "q29_union_distinct": q29_sql(),
+    "q32_jaccard_pairs": q32_sql(),
+    "q33_convolve_gather": q33_sql(),
 }

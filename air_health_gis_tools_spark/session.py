@@ -35,6 +35,15 @@ def get_spark(app: str = "air_health_gis_tools_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill on tmpfs when available: local-mode shuffles otherwise
+    # serialize on one overlay disk and flatten the core-count scaling the
+    # cluster's distributed shuffle fabric would provide
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

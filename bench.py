@@ -74,14 +74,18 @@ def main():
 
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     only = set(only.split(",")) if only else None
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
 
     def run(name, fn):
         if only is not None and name not in only:
             return
         fn()  # warmup pass: JVM JIT + codegen + shuffle-file cache
-        t0 = time.perf_counter()
-        fn()  # steady-state measurement
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()  # steady-state measurement; min-of-reps rejects noise
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     run("q01_zonal_600k", lambda: buffered_stats(pts, list(G.BUFFERS_M))
         .select(F.sum("n_valid_10000")).collect())

@@ -34,6 +34,8 @@ def run_bench(cpus: int, mult: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_POINT_MULT=str(mult),
+               SPARK_GRAFT_BENCH_REPS=os.environ.get(
+                   "SPARK_GRAFT_BENCH_REPS", "3"),
                SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES",
                                                   SCALING_QUERIES))
     out = subprocess.run(
@@ -49,15 +51,28 @@ def main():
     lo = run_bench(n, mult)
     hi = run_bench(4 * n, mult)
 
-    rows = []
+    # merge into the sidecar so large workloads can be measured one query
+    # (or one group) at a time without losing earlier results
+    sidecar = os.path.join(HERE, "BENCH", "scaling_results.json")
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    merged = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            merged = json.load(f)
     for q in lo["queries"]:
         t_lo, t_hi = lo["queries"][q], hi["queries"][q]
-        eff = (t_lo / t_hi) / 4 if t_hi > 0 else float("nan")
-        rows.append((q, t_lo, t_hi, round(eff, 3)))
-    total_lo = sum(lo["queries"].values())
-    total_hi = sum(hi["queries"].values())
+        merged[q] = {"n": n, "mult": mult, "t_lo": t_lo, "t_hi": t_hi,
+                     "n_points": lo["n_points"],
+                     "eff": round((t_lo / t_hi) / 4, 3) if t_hi > 0 else None}
+    with open(sidecar, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+
+    rows = [(q, e["t_lo"], e["t_hi"], e["eff"])
+            for q, e in sorted(merged.items())]
+    total_lo = sum(e["t_lo"] for e in merged.values())
+    total_hi = sum(e["t_hi"] for e in merged.values())
     eff_total = round((total_lo / total_hi) / 4, 3)
-    npts = lo["n_points"]
+    npts = max(e["n_points"] for e in merged.values())
 
     md = [
         "# BENCH — scaling-efficiency evidence (north_rule)",
@@ -77,20 +92,39 @@ def main():
         f"| **suite total** | {round(total_lo, 2)} | {round(total_hi, 2)} "
         f"| **{eff_total}** |",
         "",
-        f"- zonal throughput: {round(npts / lo['queries']['q01_zonal_600k'])}"
-        f" pts/s at local[{n}] → "
-        f"{round(npts / hi['queries']['q01_zonal_600k'])} pts/s at "
-        f"local[{4*n}]",
+    ]
+    z = merged.get("q01_zonal_600k")
+    if z:
+        md += [
+            f"- zonal throughput: {round(z['n_points'] / z['t_lo'])}"
+            f" pts/s at local[{z['n']}] → "
+            f"{round(z['n_points'] / z['t_hi'])} pts/s at "
+            f"local[{4 * z['n']}]",
+        ]
+    md += [
         "",
         "## vs reference baseline (BASELINE.md)",
         "",
         "Reference flagship (extract_raster_buffer.py FFT convolution):",
         "~100M pixel-visits in 20s = 5M px/s single-node (README.md:88-91).",
-        f"This engine's zonal kernel at local[{4*n}]: "
-        f"{round(npts / hi['queries']['q01_zonal_600k'])} points/s × ~327 "
-        "pixel-visits/point (3 radii) = "
-        f"{round(npts / hi['queries']['q01_zonal_600k'] * 327 / 1e6, 1)}M "
-        "pixel-visits/s.",
+        (f"This engine's zonal kernel at local[{4 * z['n']}]: "
+         f"{round(z['n_points'] / z['t_hi'])} points/s × ~327 "
+         "pixel-visits/point (3 radii) = "
+         f"{round(z['n_points'] / z['t_hi'] * 327 / 1e6, 1)}M "
+         "pixel-visits/s." if z else ""),
+        "",
+        "## Protocol caveats (honest reading)",
+        "",
+        "- local[N] threads share ONE memory bus, ONE page cache and ONE",
+        "  shuffle medium; a real N-vs-4N *executor* comparison multiplies",
+        "  those resources with the executor count. Compute-dominated",
+        "  kernels (zonal, radius, kNN) are the faithful proxies here;",
+        "  shuffle-dominated stages (hex rollup over ~unique keys) measure",
+        "  the single box's shuffle medium, not the engine's plan.",
+        "- timings are min-of-3 steady-state passes after a warmup pass",
+        "  (JIT + Python-worker imports are cluster startup, not workload);",
+        "  shuffle dirs are tmpfs to approximate a cluster's distributed",
+        "  shuffle fabric rather than one overlay disk.",
     ]
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
