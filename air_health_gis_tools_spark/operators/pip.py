@@ -130,6 +130,33 @@ def radius_count(points: DataFrame, targets: DataFrame, radius_m: int,
                     .alias("n_in_radius")))
 
 
+def radius_count_np(points: DataFrame, target_xy: tuple[np.ndarray, np.ndarray],
+                    radius_m: int, id_col: str = "doc_id",
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Broadcast-kernel variant of ``radius_count`` for small target dims:
+    the chunked numpy distance matrix replaces the 9-cell explode join —
+    far less row amplification, scales with cores like the zonal kernel.
+    The cell-join variant remains the plan for large target tables."""
+    txs, tys = (np.asarray(a, dtype=np.int64) for a in target_xy)
+    r2 = radius_m * radius_m
+
+    @F.pandas_udf(T.LongType())
+    def _cnt(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy().astype(np.int64)
+        ys = y.to_numpy().astype(np.int64)
+        out = np.empty(len(xs), dtype=np.int64)
+        for s in range(0, len(xs), 1024):
+            e = min(s + 1024, len(xs))
+            dx = xs[s:e, None] - txs[None, :]
+            dy = ys[s:e, None] - tys[None, :]
+            out[s:e] = ((dx * dx + dy * dy) <= r2).sum(axis=1)
+        return pd.Series(out)
+
+    return points.select(id_col, x_col, y_col).withColumn(
+        "n_in_radius", _cnt(F.col(x_col), F.col(y_col))) \
+        .select(id_col, "n_in_radius")
+
+
 # --------------------------------------------------------------------------
 # general polygons: vectorized even-odd ray casting (shapely replacement)
 # --------------------------------------------------------------------------

@@ -24,10 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from air_health_gis_tools_spark import geo_synth as G
-from air_health_gis_tools_spark.operators.knn import knn_cell_join
+from air_health_gis_tools_spark.operators.knn import knn_broadcast_np
 from air_health_gis_tools_spark.operators.pip import (pip_circle_counts,
-                                                      radius_count)
+                                                      radius_count_np)
 from air_health_gis_tools_spark.operators.zonal import buffered_stats
 from air_health_gis_tools_spark.functions.cells import hex_cell_udf
 from air_health_gis_tools_spark.plans import queries as Q
@@ -89,13 +91,17 @@ def main():
 
     run("q01_zonal_600k", lambda: buffered_stats(pts, list(G.BUFFERS_M))
         .select(F.sum("n_valid_10000")).collect())
-    run("q06_knn_600k", lambda: knn_cell_join(
-        pts, Q.monitors_df(spark), G.KNN_BOUND_M)
+    mids = np.arange(G.N_MONITORS, dtype=np.int64)
+    mxs, mys = G.monitor_xy_np(mids)
+    run("q06_knn_600k", lambda: knn_broadcast_np(
+        pts, (mxs, mys, mids), G.KNN_BOUND_M)
         .select(F.count("monitor_id")).collect())
+    # 500 polygons so the PIP stage is measurable (the 50-poly correctness
+    # dim finishes in scheduler noise at bench scale)
     run("q07_pip_600k", lambda: pip_circle_counts(
-        pts, Q.polys_df(spark)).collect())
-    run("q09_radius_600k", lambda: radius_count(
-        pts, Q.monitors_df(spark), 25_000)
+        pts, Q.polys_df(spark, 500)).collect())
+    run("q09_radius_600k", lambda: radius_count_np(
+        pts, (mxs, mys), 25_000)
         .select(F.sum("n_in_radius")).collect())
     run("q21_hex_rollup_600k", lambda: pts.withColumn(
         "c", hex_cell_udf(7)(F.col("x"), F.col("y")))

@@ -121,6 +121,9 @@ def main():
         "  kernels (zonal, radius, kNN) are the faithful proxies here;",
         "  shuffle-dominated stages (hex rollup over ~unique keys) measure",
         "  the single box's shuffle medium, not the engine's plan.",
+        "- queries whose wall time is ~2 s are fixed-cost-dominated",
+        "  (scheduling + Arrow setup), capping their measured ratio;",
+        "  judge the operators with enough work to measure.",
         "- timings are min-of-3 steady-state passes after a warmup pass",
         "  (JIT + Python-worker imports are cluster startup, not workload);",
         "  shuffle dirs are tmpfs to approximate a cluster's distributed",

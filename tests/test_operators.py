@@ -65,6 +65,27 @@ def test_knn_three_strategies_agree(spark, pts):
                                       obj=f"cell_join vs {name}")
 
 
+def test_radius_kernel_equals_cell_join(spark, pts):
+    from air_health_gis_tools_spark.operators.pip import (radius_count,
+                                                          radius_count_np)
+    from air_health_gis_tools_spark.plans.queries import monitors_df
+    ids = np.arange(G.N_MONITORS, dtype=np.int64)
+    mx, my = G.monitor_xy_np(ids)
+    a = _sorted_pdf(radius_count(pts, monitors_df(spark), 25_000))
+    b = _sorted_pdf(radius_count_np(pts, (mx, my), 25_000))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_knn_auto_picks_kernel_and_matches(spark, pts):
+    from air_health_gis_tools_spark.operators.knn import knn_auto
+    from air_health_gis_tools_spark.plans.queries import monitors_df
+    a = _sorted_pdf(knn_auto(pts, monitors_df(spark), G.KNN_BOUND_M)
+                    .select("doc_id", "monitor_id", "dist_m"))
+    b = _sorted_pdf(knn_cell_join(pts, monitors_df(spark), G.KNN_BOUND_M)
+                    .select("doc_id", "monitor_id", "dist_m"))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_knn_ring_expands_past_first_hit():
     """A nearer monitor in ring k+1 must beat a ring-k hit (SURVEY §7.4.6)."""
     # point near the right edge of its cell; monitor A in same cell but far
