@@ -112,6 +112,32 @@ def poly_circle_sql(id_expr: str, dialect: str) -> tuple[str, str, str]:
 # raster formula (functional raster source; also materialized as tiles)
 # --------------------------------------------------------------------------
 
+def line_seg_sql(id_expr: str, dialect: str) -> tuple[str, str, str, str]:
+    """(ax, ay, bx, by) int64 endpoints of a synthetic line segment
+    (roads/transects fixture for the reference's declared-but-unbuilt
+    extract_lines_in_buffer capability, SURVEY §2.12). Segments ≤ ~28 km,
+    margin-safe."""
+    inner = SPAN - 100_000
+    ax = f"({MARGIN_M} + 50000 + (({id_expr}) * 19793 + 29) % {inner - 40000})"
+    ay = f"({MARGIN_M} + 50000 + (({id_expr}) * 30269 + 71) % {inner - 40000})"
+    bx = f"({ax} + (({id_expr}) * 12923 + 5) % 40001 - 20000)"
+    by = f"({ay} + (({id_expr}) * 17389 + 63) % 40001 - 20000)"
+    return ax, ay, bx, by
+
+
+def line_seg_np(ids: np.ndarray) -> tuple[np.ndarray, ...]:
+    ids = np.asarray(ids, dtype=np.int64)
+    inner = SPAN - 100_000
+    ax = MARGIN_M + 50_000 + (ids * 19793 + 29) % (inner - 40_000)
+    ay = MARGIN_M + 50_000 + (ids * 30269 + 71) % (inner - 40_000)
+    bx = ax + (ids * 12923 + 5) % 40001 - 20_000
+    by = ay + (ids * 17389 + 63) % 40001 - 20_000
+    return ax, ay, bx, by
+
+
+N_LINES = 300
+
+
 def raster_value_sql(row_expr: str, col_expr: str) -> str:
     """Pixel value as DOUBLE, NULL at nodata. Exact-integer-valued.
 

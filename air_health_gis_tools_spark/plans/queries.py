@@ -839,6 +839,162 @@ GROUP BY p.doc_id
 
 
 # --------------------------------------------------------------------------
+# q34 polygon zonal statistics (J7 + A7: rasterstats zonal_stats with the
+# custom 'sumna' aggregator — sum of positive pixels / polygon area km²,
+# reference Examples/ExamplesOriginal/1 - Population Density.py:31-48)
+# --------------------------------------------------------------------------
+
+def q34_polygon_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from ..geo_synth import NODATA_MOD, VALUE_MOD, XRES
+    polys = polys_df(spark)
+
+    schema = T.StructType([
+        T.StructField("sum_pos", T.DoubleType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("density", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _zonal(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.DataFrame:
+        cxs = cx.to_numpy(np.int64)
+        cys = cy.to_numpy(np.int64)
+        rs = r.to_numpy(np.int64)
+        sums = np.empty(len(cxs))
+        npx = np.empty(len(cxs), dtype=np.int64)
+        for i in range(len(cxs)):  # per polygon (a small dim), not per row
+            rpx = int(rs[i]) // XRES + 1
+            c0 = int(cxs[i]) // XRES
+            r0 = int(cys[i]) // XRES
+            rng = np.arange(-rpx, rpx + 1, dtype=np.int64)
+            dr, dc = np.meshgrid(rng, rng, indexing="ij")
+            rows = r0 + dr.ravel()
+            cols = c0 + dc.ravel()
+            # pixel-center-in-circle membership (exact ints)
+            px_x = cols * XRES + XRES // 2
+            px_y = rows * XRES + XRES // 2
+            inside = ((px_x - cxs[i]) ** 2 + (px_y - cys[i]) ** 2
+                      <= rs[i] * rs[i])
+            rows, cols = rows[inside], cols[inside]
+            v = ((rows * 7919 + cols * 104729) % VALUE_MOD).astype(np.float64)
+            nod = ((rows * 31 + cols * 17) % NODATA_MOD) == 0
+            pos = (~nod) & (v > 0)
+            sums[i] = v[pos].sum()
+            npx[i] = int(inside.sum())
+        area_km2 = (rs * rs).astype(np.float64) * np.pi / 1e6
+        return pd.DataFrame({"sum_pos": sums, "n_px": npx,
+                             "density": sums / np.floor(area_km2)})
+
+    out = polys.withColumn("_z", _zonal(F.col("cx"), F.col("cy"), F.col("r")))
+    return out.select("poly_id", F.col("_z.sum_pos").alias("sum_pos"),
+                      F.col("_z.n_px").alias("n_px"),
+                      F.col("_z.density").alias("density"))
+
+
+def q34_sql() -> str:
+    # max rpx = 45000/1000+1 = 46 → offsets range(-46,47)
+    val = G.raster_value_sql("(g.cy // 1000) + o.dr", "(g.cx // 1000) + o.dc")
+    px_x = "(((g.cx // 1000) + o.dc) * 1000 + 500)"
+    px_y = "(((g.cy // 1000) + o.dr) * 1000 + 500)"
+    return f"""
+WITH polys AS ({_polys_cte_duckdb()}),
+offs AS (
+  SELECT a.range AS dr, b.range AS dc
+  FROM range(-46, 47) a, range(-46, 47) b
+),
+px AS (
+  SELECT g.poly_id, g.r, {val} AS v
+  FROM polys g CROSS JOIN offs o
+  WHERE ({px_x} - g.cx) * ({px_x} - g.cx)
+      + ({px_y} - g.cy) * ({px_y} - g.cy) <= g.r * g.r
+)
+SELECT poly_id,
+       COALESCE(sum(CASE WHEN v > 0 THEN v END), 0.0) AS sum_pos,
+       count(*) AS n_px,
+       COALESCE(sum(CASE WHEN v > 0 THEN v END), 0.0)
+         / floor(CAST(r * r AS DOUBLE) * pi() / 1000000.0) AS density
+FROM px GROUP BY poly_id, r
+"""
+
+
+
+# --------------------------------------------------------------------------
+# q35 lines-in-buffer (the reference's declared-but-unbuilt capability,
+# Archived_scripts/extract_lines_in_buffer.py:1-8)
+# --------------------------------------------------------------------------
+
+LINES_RADIUS_M = 25_000
+
+
+def q35_lines_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lines import lines_in_radius
+    ids = np.arange(G.N_LINES, dtype=np.int64)
+    segs = G.line_seg_np(ids)
+    return lines_in_radius(docs_xy(spark, sf_dir), segs, LINES_RADIUS_M)
+
+
+def q35_sql() -> str:
+    from ..operators.lines import lines_sql
+    ax, ay, bx, by = G.line_seg_sql("s.range", "duckdb")
+    lines_cte = (f"SELECT s.range AS seg_id, {ax} AS ax, {ay} AS ay, "
+                 f"{bx} AS bx, {by} AS by FROM range({G.N_LINES}) s")
+    return lines_sql(LINES_RADIUS_M, _pts_cte("duckdb"), lines_cte)
+
+
+
+# --------------------------------------------------------------------------
+# q36 language-ID, expression form (marker n-gram counts via the
+# length/replace trick — JVM-side in Spark, identical SQL in the oracle)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS_SQL = {
+    "de": (" der ", " und ", " ist "),
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " los ", " es "),
+    "fr": (" le ", " les ", " est "),
+    "zh": ("\u4e00", "\u7684", "\u662f"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = []
+    for m in _LANG_MARKERS_SQL[lang]:
+        esc = m.replace("'", "''")
+        terms.append(f"(length(t) - length(replace(t, '{esc}', '')))"
+                     f" / {len(m)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_winner_sql() -> str:
+    langs = sorted(_LANG_MARKERS_SQL)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {mx} THEN '{l}' "
+    return case + "END"
+
+
+def q36_lang_id_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("t", F.expr("' ' || text || ' '"))
+    for lang in sorted(_LANG_MARKERS_SQL):
+        d = d.withColumn(f"s_{lang}", F.expr(_lang_score_sql(lang)))
+    d = d.withColumn("lang_guess", F.expr(_lang_winner_sql()))
+    return (d.groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q36_sql() -> str:
+    langs = sorted(_LANG_MARKERS_SQL)
+    scores = ",\n  ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in langs)
+    return f"""
+WITH padded AS (SELECT lang, ' ' || text || ' ' AS t FROM documents),
+scored AS (SELECT lang, {scores} FROM padded)
+SELECT lang, {_lang_winner_sql()} AS lang_guess, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
 
@@ -924,6 +1080,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_multimodal_features": q31_multimodal_features,
     "q32_jaccard_pairs": q32_jaccard_pairs,
     "q33_convolve_gather": q33_convolve_gather,
+    "q34_polygon_zonal": q34_polygon_zonal,
+    "q35_lines_in_radius": q35_lines_in_radius,
+    "q36_lang_id_expr": q36_lang_id_expr,
 }
 
 ORACLES: dict[str, str] = {
@@ -955,4 +1114,7 @@ ORACLES: dict[str, str] = {
     "q29_union_distinct": q29_sql(),
     "q32_jaccard_pairs": q32_sql(),
     "q33_convolve_gather": q33_sql(),
+    "q34_polygon_zonal": q34_sql(),
+    "q35_lines_in_radius": q35_sql(),
+    "q36_lang_id_expr": q36_sql(),
 }
