@@ -275,6 +275,7 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
     Tile key: tile_id = (row0/tile_px) * 2^32 + (col0/tile_px). A 10 km
     buffer at 1 km pixels touches ≤ 4 tiles of 256 px — bounded fan-out.
     """
+    assert 2 * rmax_px + 1 <= tile_px, "window spans >2 tiles per axis"
     ntx = 1 << 32
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -283,18 +284,19 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
         ys = y.to_numpy().astype(np.int64)
         r0 = ys // XRES
         c0 = xs // XRES
-        out = []
         tr_lo = np.maximum(r0 - rmax_px, 0) // tile_px
         tr_hi = np.minimum(r0 + rmax_px, RASTER_H - 1) // tile_px
         tc_lo = np.maximum(c0 - rmax_px, 0) // tile_px
         tc_hi = np.minimum(c0 + rmax_px, RASTER_W - 1) // tile_px
-        for a, b, c, d in zip(tr_lo, tr_hi, tc_lo, tc_hi):
-            trs = np.arange(a, b + 1)
-            tcs = np.arange(c, d + 1)
-            out.append((trs[:, None] * ntx + tcs[None, :]).ravel())
-        return pd.Series(out)
+        # window ≤ tile ⇒ at most the 4 corner tiles; fully vectorized
+        # (n, 4) block, duplicates removed JVM-side by array_distinct
+        quad = np.stack([tr_lo * ntx + tc_lo, tr_lo * ntx + tc_hi,
+                         tr_hi * ntx + tc_lo, tr_hi * ntx + tc_hi], axis=1)
+        return pd.Series(quad.tolist())
 
-    return df.withColumn("tile_id", F.explode(_tiles(F.col(x_col), F.col(y_col))))
+    return df.withColumn(
+        "tile_id",
+        F.explode(F.array_distinct(_tiles(F.col(x_col), F.col(y_col)))))
 
 
 def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,

@@ -994,6 +994,56 @@ FROM scored GROUP BY 1, 2
 """
 
 
+
+# --------------------------------------------------------------------------
+# q37 embedding-cosine near-dup pairs (exact all-pairs similarity join;
+# the LSH-prefiltered approximate variant is q24)
+# --------------------------------------------------------------------------
+
+NEARDUP_COS = 0.95
+
+
+def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q1 = SIM._quant_expr("emb1")
+    q2 = SIM._quant_expr("emb2")
+    a = emb.select(F.col("vec_id").alias("id1"),
+                   F.col("embedding").alias("emb1"))
+    b = emb.select(F.col("vec_id").alias("id2"),
+                   F.col("embedding").alias("emb2"))
+    dot = (f"aggregate(zip_with({q1}, {q2}, (x, y) -> x * y), 0L, "
+           f"(acc, v) -> acc + v)")
+    n1 = (f"aggregate(transform({q1}, e -> e * e), 0L, "
+          f"(acc, v) -> acc + v)")
+    n2 = (f"aggregate(transform({q2}, e -> e * e), 0L, "
+          f"(acc, v) -> acc + v)")
+    pairs = (a.join(b, F.col("id1") < F.col("id2"))
+             .withColumn("dot", F.expr(dot))
+             .withColumn("n1", F.expr(n1))
+             .withColumn("n2", F.expr(n2))
+             .withColumn("cosine",
+                         F.col("dot") / F.sqrt(F.col("n1"))
+                         / F.sqrt(F.col("n2")))
+             .filter(F.col("cosine") >= NEARDUP_COS))
+    return pairs.select("id1", "id2", "cosine")
+
+
+def q37_sql() -> str:
+    q1 = SIM._quant_expr("a.embedding").replace("transform", "list_transform")
+    q2 = SIM._quant_expr("b.embedding").replace("transform", "list_transform")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         CAST(list_dot_product({q1}, {q2}) AS DOUBLE) AS dot,
+         CAST(list_dot_product({q1}, {q1}) AS DOUBLE) AS n1,
+         CAST(list_dot_product({q2}, {q2}) AS DOUBLE) AS n2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, dot / sqrt(n1) / sqrt(n2) AS cosine
+FROM pairs WHERE dot / sqrt(n1) / sqrt(n2) >= {NEARDUP_COS}
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
@@ -1083,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_polygon_zonal": q34_polygon_zonal,
     "q35_lines_in_radius": q35_lines_in_radius,
     "q36_lang_id_expr": q36_lang_id_expr,
+    "q37_embedding_neardup": q37_embedding_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1117,4 +1168,5 @@ ORACLES: dict[str, str] = {
     "q34_polygon_zonal": q34_sql(),
     "q35_lines_in_radius": q35_sql(),
     "q36_lang_id_expr": q36_sql(),
+    "q37_embedding_neardup": q37_sql(),
 }

@@ -103,6 +103,15 @@ def main():
     run("q09_radius_600k", lambda: radius_count_np(
         pts, (mxs, mys), 25_000)
         .select(F.sum("n_in_radius")).collect())
+    # the 100 TB scale path (tile-table cogroup partial/final agg) measured
+    # alongside the specialized broadcast kernel it bit-matches
+    from air_health_gis_tools_spark.operators.zonal import buffered_stats_tiled
+    from air_health_gis_tools_spark.sources.raster import synthetic_tile_table
+    tiles = synthetic_tile_table(spark, tile_px=256).cache()
+    tiles.count()
+    run("q01_zonal_tiled_600k", lambda: buffered_stats_tiled(
+        pts, tiles, list(G.BUFFERS_M), 256)
+        .select(F.sum("n_valid_10000")).collect())
     run("q21_hex_rollup_600k", lambda: pts.withColumn(
         "c", hex_cell_udf(7)(F.col("x"), F.col("y")))
         .groupBy("c").count().select(F.sum("count")).collect())

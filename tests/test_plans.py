@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the plan properties ARCHITECTURE.md
+claims are asserted here so a regression (lost pushdown, broadcast that
+became a shuffle join, an extra Exchange) fails CI, not a code reviewer."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from air_health_gis_tools_spark.plans import queries as Q
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q19_scan_pushdown_and_pruning(spark):
+    p = plan_of(Q.q19_lineitem_agg(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: html-sized columns absent, only the 5 needed ones read
+    assert "l_comment" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q01_zonal_zero_shuffle(spark):
+    p = plan_of(Q.q01_buffered_stats(spark, SF_DIR))
+    assert "Exchange" not in p, "flagship zonal must not shuffle"
+    # formatted output lists each node twice (tree + details):
+    # geocode + zonal kernels, each evaluated exactly once
+    assert p.count("ArrowEvalPython") == 4
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_q06_knn_single_exchange_broadcast(spark):
+    p = plan_of(Q.q06_knn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # one Exchange for the final agg + the BroadcastExchange for the dim
+    assert p.count("+- Exchange") == 1
+    assert "BroadcastExchange" in p
+
+
+def test_q07_pip_all_broadcast(spark):
+    p = plan_of(Q.q07_pip_counts(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q28_topk_no_global_sort(spark):
+    p = plan_of(Q.q28_topk_quality(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "+- Sort" not in p
