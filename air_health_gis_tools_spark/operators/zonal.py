@@ -302,7 +302,9 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
 def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
                          buffers_m: Sequence[int], tile_px: int,
                          id_col: str = "doc_id",
-                         x_col: str = "x", y_col: str = "y") -> DataFrame:
+                         x_col: str = "x", y_col: str = "y",
+                         hot_group_rows: int = 8192,
+                         max_salt: int = 32) -> DataFrame:
     """Partial/final zonal stats over a raster *tile table*.
 
     ``tiles``: (tile_id:long, row0:int, col0:int, h:int, w:int,
@@ -314,11 +316,51 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     once) → Arrow kernel emits per-(point, buffer) PARTIAL (sum, cnt, min,
     max) → groupBy(point) FINAL combine. Mirrors Spark's own partial/final
     HashAggregate; no tile pixel ever crosses the final shuffle.
+
+    Urban-cluster skew (north_rule): a hot tile can hold 100k+ points —
+    one cogroup group, one core, the job's straggler. Defense is ADAPTIVE
+    SALTING: a cheap pre-count finds hot tiles, each is split into
+    ceil(count / hot_group_rows) salt groups (points pick their salt by id
+    hash; the tile row replicates only into its own salts). Cold tiles pay
+    nothing. This is the same mechanism AQE's skew-join split applies to
+    sort-merge joins, applied to the cogroup.
     """
     buffers_m = list(buffers_m)
     rmax = max(radius_px(b) for b in buffers_m)
     pts = point_tile_ids(
         points.select(id_col, x_col, y_col), rmax, tile_px, x_col, y_col)
+
+    # ---- adaptive salt map from a pre-count of the exploded point side
+    counts = {r["tile_id"]: r["count"]
+              for r in pts.groupBy("tile_id").count().collect()}
+    salt_k = {t: min(max(-(-c // hot_group_rows), 1), max_salt)
+              for t, c in counts.items()}
+    spark = points.sparkSession
+    bc_salt = spark.sparkContext.broadcast(salt_k)
+
+    @F.pandas_udf(T.LongType())
+    def _salted_key(tile: pd.Series, ids: pd.Series) -> pd.Series:
+        t = tile.to_numpy(np.int64)
+        i = ids.to_numpy(np.int64)
+        ks = bc_salt.value
+        k = np.array([ks.get(int(v), 1) for v in t], dtype=np.int64)
+        salt = (i * 2654435761 % (1 << 31)) % k
+        return pd.Series(t * 64 + salt)
+
+    pts = pts.withColumn("gkey", _salted_key(F.col("tile_id"),
+                                             F.col(id_col)))
+    salt_rows = [(int(t), s) for t, k in salt_k.items() if k > 1
+                 for s in range(k)]
+    if salt_rows:
+        salts = spark.createDataFrame(salt_rows, "tile_id long, salt int")
+        tiles_salted = (tiles.join(F.broadcast(salts), "tile_id", "left")
+                        .withColumn("gkey",
+                                    F.col("tile_id") * 64
+                                    + F.coalesce(F.col("salt"), F.lit(0)))
+                        .drop("salt"))
+    else:
+        tiles_salted = tiles.withColumn("gkey", F.col("tile_id") * 64)
+    tiles = tiles_salted
 
     partial_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -329,51 +371,57 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
         T.StructField("mx", T.DoubleType()),
     ])
 
+    rng0 = np.arange(-rmax, rmax + 1, dtype=np.int64)
+    _dr, _dc = np.meshgrid(rng0, rng0, indexing="ij")
+    _dr = _dr.ravel(); _dc = _dc.ravel()
+    _d2 = _dr * _dr + _dc * _dc
+    _sels = {b: np.flatnonzero(_d2 <= radius_px(b) ** 2) for b in buffers_m}
+
     def _partial(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
                  ) -> pd.DataFrame:
         if pdf_points.empty or pdf_tiles.empty:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype="float64") for f in partial_schema})
         t = pdf_tiles.iloc[0]
-        arr = np.asarray(t["data"], dtype=np.float64).reshape(t["h"], t["w"])
+        th, tw = int(t["h"]), int(t["w"])
+        arr = np.asarray(t["data"], dtype=np.float64).reshape(th, tw)
         row0, col0 = int(t["row0"]), int(t["col0"])
         xs = pdf_points[x_col].to_numpy().astype(np.int64)
         ys = pdf_points[y_col].to_numpy().astype(np.int64)
-        pr = ys // XRES
-        pc = xs // XRES
-        rng = np.arange(-rmax, rmax + 1, dtype=np.int64)
-        dr, dc = np.meshgrid(rng, rng, indexing="ij")
-        dr = dr.ravel(); dc = dc.ravel()
-        d2 = dr * dr + dc * dc
-        rows = pr[:, None] + dr[None, :]
-        cols = pc[:, None] + dc[None, :]
-        inside = ((rows >= row0) & (rows < row0 + t["h"]) &
-                  (cols >= col0) & (cols < col0 + t["w"]))
-        rr = np.clip(rows - row0, 0, t["h"] - 1)
-        cc = np.clip(cols - col0, 0, t["w"] - 1)
-        vals = arr[rr, cc]
-        vals = np.where(inside, vals, np.nan)
-        valid_all = ~np.isnan(vals)
-        frames = []
         ids = pdf_points[id_col].to_numpy()
-        for b in buffers_m:
-            rpx = radius_px(b)
-            sel = d2 <= rpx * rpx
-            v = vals[:, sel]
-            valid = valid_all[:, sel]
-            cnt = valid.sum(axis=1)
-            s = np.where(valid, v, 0.0).sum(axis=1)
-            mn = np.where(valid, v, np.inf).min(axis=1)
-            mx = np.where(valid, v, -np.inf).max(axis=1)
-            frames.append(pd.DataFrame({
-                id_col: ids, "buf": np.int32(b), "s": s, "cnt": cnt,
-                "mn": np.where(cnt > 0, mn, np.nan),
-                "mx": np.where(cnt > 0, mx, np.nan)}))
+        pr_all = ys // XRES
+        pc_all = xs // XRES
+        frames = []
+        # chunked so hot (salted) groups never build giant temporaries
+        for s0 in range(0, len(xs), _CHUNK):
+            s1 = min(s0 + _CHUNK, len(xs))
+            rows = pr_all[s0:s1, None] + _dr[None, :]
+            cols = pc_all[s0:s1, None] + _dc[None, :]
+            inside = ((rows >= row0) & (rows < row0 + th) &
+                      (cols >= col0) & (cols < col0 + tw))
+            rr = np.clip(rows - row0, 0, th - 1)
+            cc = np.clip(cols - col0, 0, tw - 1)
+            vals = arr[rr, cc]
+            vals = np.where(inside, vals, np.nan)
+            valid_all = ~np.isnan(vals)
+            for b in buffers_m:
+                sel = _sels[b]
+                v = vals[:, sel]
+                valid = valid_all[:, sel]
+                cnt = valid.sum(axis=1)
+                s = np.where(valid, v, 0.0).sum(axis=1)
+                mn = np.where(valid, v, np.inf).min(axis=1)
+                mx = np.where(valid, v, -np.inf).max(axis=1)
+                frames.append(pd.DataFrame({
+                    id_col: ids[s0:s1], "buf": np.int32(b), "s": s,
+                    "cnt": cnt,
+                    "mn": np.where(cnt > 0, mn, np.nan),
+                    "mx": np.where(cnt > 0, mx, np.nan)}))
         out = pd.concat(frames, ignore_index=True)
         return out[out["cnt"] > 0]
 
-    partial = (pts.groupBy("tile_id")
-               .cogroup(tiles.groupBy("tile_id"))
+    partial = (pts.groupBy("gkey")
+               .cogroup(tiles.groupBy("gkey"))
                .applyInPandas(_partial, partial_schema))
 
     final = (partial.groupBy(id_col)
