@@ -362,14 +362,15 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
         tiles_salted = tiles.withColumn("gkey", F.col("tile_id") * 64)
     tiles = tiles_salted
 
-    partial_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
-        T.StructField("buf", T.IntegerType()),
-        T.StructField("s", T.DoubleType()),
-        T.StructField("cnt", T.LongType()),
-        T.StructField("mn", T.DoubleType()),
-        T.StructField("mx", T.DoubleType()),
-    ])
+    # one WIDE partial row per (point, tile): no per-buffer row blowup and
+    # no pivot stage in the final combine
+    pfields = [T.StructField(id_col, T.LongType())]
+    for b in buffers_m:
+        pfields += [T.StructField(f"s_{b}", T.DoubleType()),
+                    T.StructField(f"cnt_{b}", T.LongType()),
+                    T.StructField(f"mn_{b}", T.DoubleType()),
+                    T.StructField(f"mx_{b}", T.DoubleType())]
+    partial_schema = T.StructType(pfields)
 
     rng0 = np.arange(-rmax, rmax + 1, dtype=np.int64)
     _dr, _dc = np.meshgrid(rng0, rng0, indexing="ij")
@@ -404,6 +405,8 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
             vals = arr[rr, cc]
             vals = np.where(inside, vals, np.nan)
             valid_all = ~np.isnan(vals)
+            cols_out = {id_col: ids[s0:s1]}
+            any_cnt = np.zeros(s1 - s0, dtype=np.int64)
             for b in buffers_m:
                 sel = _sels[b]
                 v = vals[:, sel]
@@ -412,28 +415,36 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
                 s = np.where(valid, v, 0.0).sum(axis=1)
                 mn = np.where(valid, v, np.inf).min(axis=1)
                 mx = np.where(valid, v, -np.inf).max(axis=1)
-                frames.append(pd.DataFrame({
-                    id_col: ids[s0:s1], "buf": np.int32(b), "s": s,
-                    "cnt": cnt,
-                    "mn": np.where(cnt > 0, mn, np.nan),
-                    "mx": np.where(cnt > 0, mx, np.nan)}))
-        out = pd.concat(frames, ignore_index=True)
-        return out[out["cnt"] > 0]
+                cols_out[f"s_{b}"] = s
+                cols_out[f"cnt_{b}"] = cnt
+                # +-inf sentinels (NOT NaN: Spark max prefers NaN over
+                # reals); the final projection nulls them via cnt > 0
+                cols_out[f"mn_{b}"] = mn
+                cols_out[f"mx_{b}"] = mx
+                any_cnt += cnt
+            df_out = pd.DataFrame(cols_out)
+            frames.append(df_out[any_cnt > 0])
+        return pd.concat(frames, ignore_index=True)
 
     partial = (pts.groupBy("gkey")
                .cogroup(tiles.groupBy("gkey"))
                .applyInPandas(_partial, partial_schema))
 
-    final = (partial.groupBy(id_col)
-             .pivot("buf", buffers_m)
-             .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"),
-                  F.min("mn").alias("mn"), F.max("mx").alias("mx")))
+    aggs = []
+    for b in buffers_m:
+        aggs += [F.sum(f"s_{b}").alias(f"s_{b}"),
+                 F.sum(f"cnt_{b}").alias(f"cnt_{b}"),
+                 F.min(f"mn_{b}").alias(f"mn_{b}"),
+                 F.max(f"mx_{b}").alias(f"mx_{b}")]
+    final = partial.groupBy(id_col).agg(*aggs)
     cols = [F.col(id_col)]
     for b in buffers_m:
+        has = F.col(f"cnt_{b}") > 0
         cols += [
-            (F.col(f"{b}_s") / F.col(f"{b}_cnt")).alias(f"mean_{b}"),
-            F.col(f"{b}_mn").alias(f"min_{b}"),
-            F.col(f"{b}_mx").alias(f"max_{b}"),
-            F.coalesce(F.col(f"{b}_cnt"), F.lit(0)).alias(f"n_valid_{b}"),
+            F.when(has, F.col(f"s_{b}") / F.col(f"cnt_{b}"))
+            .alias(f"mean_{b}"),
+            F.when(has, F.col(f"mn_{b}")).alias(f"min_{b}"),
+            F.when(has, F.col(f"mx_{b}")).alias(f"max_{b}"),
+            F.coalesce(F.col(f"cnt_{b}"), F.lit(0)).alias(f"n_valid_{b}"),
         ]
     return final.select(cols)
