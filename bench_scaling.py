@@ -8,9 +8,14 @@ at both plus efficiency = (T_N / T_4N) / 4.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 
-Usage: python bench_scaling.py [N]   (default N=8 → compares 8 vs 32)
-Point multiplier defaults to 8 (4.8M points) so per-core compute dominates
-scheduler overhead; override with SPARK_GRAFT_POINT_MULT.
+Usage: python bench_scaling.py [N]   (default N=8 → compares 8 vs 32;
+round-1 evidence uses N=2 → local[2] vs local[8], leaving 24 idle cores so
+the 4N leg is not throttled by the box itself).
+
+Point multiplier defaults to 32 (19.2M points) so per-core compute dominates
+scheduler overhead; override with SPARK_GRAFT_POINT_MULT. Results merge into
+BENCH/scaling_results.json (so heavy workloads can be measured one query
+group at a time); BENCH/BASELINE.md is regenerated from the union.
 """
 
 from __future__ import annotations
@@ -79,9 +84,10 @@ def main():
         "",
         "Protocol (BASELINE.md): identical job, identical input, two",
         f"parallelism levels in fresh JVMs — `local[{n}]` vs `local[{4*n}]`",
-        f"(N vs 4N). Steady-state timings (warmup pass per query). Input:",
-        f"{npts:,} points derived from sf0.1 lineitem "
-        f"(POINT_MULT={mult}), plus documents/embeddings tables.",
+        f"(N vs 4N). Steady-state timings (warmup pass per query).",
+        "Input: points derived from sf0.1 lineitem, sized per query so",
+        "compute dominates fixed job overhead (exact n_points per row in",
+        "BENCH/scaling_results.json), plus documents/embeddings tables.",
         "",
         f"| query | local[{n}] sec | local[{4*n}] sec | efficiency |",
         "|---|---|---|---|",
