@@ -1044,6 +1044,39 @@ FROM pairs WHERE dot / sqrt(n1) / sqrt(n2) >= {NEARDUP_COS}
 """
 
 
+
+# --------------------------------------------------------------------------
+# q38 analytic window frame: running per-user totals ordered by time
+# (frame = rows unbounded preceding; cents-quantized for exact sums)
+# --------------------------------------------------------------------------
+
+def q38_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(cents).over(w).alias("running_cents"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long").alias("seq"))
+
+
+def q38_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
@@ -1134,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_lines_in_radius": q35_lines_in_radius,
     "q36_lang_id_expr": q36_lang_id_expr,
     "q37_embedding_neardup": q37_embedding_neardup,
+    "q38_running_totals": q38_running_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -1169,4 +1203,5 @@ ORACLES: dict[str, str] = {
     "q35_lines_in_radius": q35_sql(),
     "q36_lang_id_expr": q36_sql(),
     "q37_embedding_neardup": q37_sql(),
+    "q38_running_totals": q38_sql(),
 }
