@@ -1077,6 +1077,112 @@ FROM events
 """
 
 
+
+# --------------------------------------------------------------------------
+# q39/q40 SimHash with a relational oracle: 60-bit signature from md5 token
+# hashes (per-bit majority vote), then near-dup pairs by Hamming distance.
+# The FNV-kernel variant stays as rows-only q23; this construction uses
+# only engine-portable primitives (md5, hex-digit extraction, bit ops).
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60          # stay clear of the BIGINT sign bit
+SIMHASH_HAM_MAX = 20
+
+
+def _simhash_digit_exprs(dialect: str) -> list[str]:
+    """16 hex digits of md5(token) as integers d0..d15."""
+    out = []
+    for i in range(15):
+        c = f"substr(md5(tok), {i + 1}, 1)"
+        if dialect == "spark":
+            out.append(f"CAST(conv({c}, 16, 10) AS BIGINT)")
+        else:
+            out.append(f"CAST('0x' || {c} AS BIGINT)")
+    return out
+
+
+def _simhash_select(dialect: str) -> tuple[str, str]:
+    """(digit select list, bit-vote aggregate list)."""
+    digits = ",\n    ".join(f"{e} AS d{i}"
+                            for i, e in enumerate(_simhash_digit_exprs(dialect)))
+    votes = []
+    for b in range(SIMHASH_BITS):
+        d = b // 4
+        sh = 3 - b % 4
+        if dialect == "spark":
+            bit = f"(shiftright(d{d}, {sh}) & 1)"
+        else:
+            bit = f"((d{d} >> {sh}) & 1)"
+        votes.append(f"sum({bit}) AS v{b}")
+    return digits, ",\n    ".join(votes)
+
+
+def _simhash_assemble() -> str:
+    terms = [f"(CASE WHEN 2 * v{b} > n THEN CAST({1 << b} AS BIGINT) "
+             f"ELSE 0 END)" for b in range(SIMHASH_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q39_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    digits, votes = _simhash_select("spark")
+    dig = toks.selectExpr("doc_id", *[
+        e + f" AS d{i}"
+        for i, e in enumerate(_simhash_digit_exprs("spark"))])
+    agg = dig.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(f"sum((shiftright(d{b // 4}, {3 - b % 4}) & 1))")
+          .alias(f"v{b}") for b in range(SIMHASH_BITS)])
+    return agg.select("doc_id",
+                      F.expr(_simhash_assemble()).alias("simhash"))
+
+
+def q39_sql() -> str:
+    digits, votes = _simhash_select("duckdb")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dig AS (
+  SELECT doc_id,
+    {digits}
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+    {votes}
+  FROM dig GROUP BY doc_id
+)
+SELECT doc_id, {_simhash_assemble()} AS simhash FROM agg
+"""
+
+
+def q40_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q39_simhash_md5(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("id1"),
+                   F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("id2"),
+                   F.col("simhash").alias("s2"))
+    return (a.join(b, F.col("id1") < F.col("id2"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                        .cast("long"))
+            .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+            .select("id1", "id2", "hamming"))
+
+
+def q40_sql() -> str:
+    return f"""
+WITH sig AS ({q39_sql()})
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
@@ -1168,6 +1274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_lang_id_expr": q36_lang_id_expr,
     "q37_embedding_neardup": q37_embedding_neardup,
     "q38_running_totals": q38_running_totals,
+    "q39_simhash_md5": q39_simhash_md5,
+    "q40_simhash_pairs": q40_simhash_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1204,4 +1312,6 @@ ORACLES: dict[str, str] = {
     "q36_lang_id_expr": q36_sql(),
     "q37_embedding_neardup": q37_sql(),
     "q38_running_totals": q38_sql(),
+    "q39_simhash_md5": q39_sql(),
+    "q40_simhash_pairs": q40_sql(),
 }

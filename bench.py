@@ -96,10 +96,11 @@ def main():
     run("q06_knn_600k", lambda: knn_broadcast_np(
         pts, (mxs, mys, mids), G.KNN_BOUND_M)
         .select(F.count("monitor_id")).collect())
-    # 500 polygons so the PIP stage is measurable (the 50-poly correctness
-    # dim finishes in scheduler noise at bench scale)
+    # enough polygons that the PIP stage is measurable (the 50-poly
+    # correctness dim finishes in scheduler noise at bench scale)
+    n_polys = int(os.environ.get("SPARK_GRAFT_PIP_POLYS", "500"))
     run("q07_pip_600k", lambda: pip_circle_counts(
-        pts, Q.polys_df(spark, 500)).collect())
+        pts, Q.polys_df(spark, n_polys)).collect())
     run("q09_radius_600k", lambda: radius_count_np(
         pts, (mxs, mys), 25_000)
         .select(F.sum("n_in_radius")).collect())
