@@ -103,6 +103,65 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, dim: int = 64,
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
+def ivf_train_centroids(vectors: np.ndarray, n_lists: int = 16,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Trained driver-side on a sample (the standard IVF recipe — at 100 TB
+    the sample is a tiny .limit() collect, the ASSIGNMENT is distributed).
+    Fixed seed + fixed iteration count ⇒ reproducible across runs.
+    """
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(vectors), size=min(n_lists, len(vectors)),
+                     replace=False)
+    cents = vectors[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = vectors[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Distributed IVF list assignment: nearest centroid per vector
+    (batched matmul kernel; centroids broadcast)."""
+    cents = centroids.astype(np.float64)
+    c2 = (cents * cents).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        # argmin ||v - c||² = argmin (c·c - 2 v·c)
+        d = c2[None, :] - 2.0 * (m @ cents.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_list", _assign(F.col(vec_col)))
+
+
+def ann_topk_ivf(df: DataFrame, qvec: list[float], k: int = 5,
+                 n_lists: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids: np.ndarray | None = None,
+                 seed: int = 42) -> DataFrame:
+    """IVF ANN: exact scoring restricted to the n_probe lists whose
+    centroids are nearest the query. Recall grows with n_probe
+    (n_probe = n_lists ⇒ exact); measured in tests against brute force."""
+    if centroids is None:
+        sample = np.stack([r[0] for r in
+                           df.select(vec_col).limit(4096).collect()])
+        centroids = ivf_train_centroids(sample, n_lists, seed=seed)
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, qvec, k, id_col, vec_col)
+
+
 def ann_topk_lsh(df: DataFrame, qvec: list[float], k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1196,6 +1196,14 @@ def q30_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2_cell_udf(14)(F.col("x"), F.col("y")).alias("cell_s2_14"))
 
 
+def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_topk_ivf
+    emb = _emb(spark, sf_dir)
+    qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+            .select("embedding").head()[0])
+    return ann_topk_ivf(emb, list(qvec), k=TOPK_K, n_lists=8, n_probe=2)
+
+
 def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, synthetic_media
     media = synthetic_media(spark, 200)
@@ -1276,6 +1284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_running_totals": q38_running_totals,
     "q39_simhash_md5": q39_simhash_md5,
     "q40_simhash_pairs": q40_simhash_pairs,
+    "q41_ann_ivf": q41_ann_ivf,
 }
 
 ORACLES: dict[str, str] = {
