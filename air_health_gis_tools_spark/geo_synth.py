@@ -108,6 +108,17 @@ def poly_circle_sql(id_expr: str, dialect: str) -> tuple[str, str, str]:
     return cx, cy, r
 
 
+def poly_circle_big_sql(id_expr: str, dialect: str) -> tuple[str, str, str]:
+    """Large exposure circles (50..250 km) — same centers as
+    ``poly_circle_sql``, scaled radii. Used by the grouped PIP query (q08)
+    so the driver's sf0.01 check exercises non-empty (poly, group) cells:
+    the small radii give ~0 expected hits at 500 points (a vacuous
+    0 == 0 oracle match proves nothing)."""
+    cx, cy, _ = poly_circle_sql(id_expr, dialect)
+    r = f"(50000 + (({id_expr}) % 9) * 25000)"
+    return cx, cy, r
+
+
 # --------------------------------------------------------------------------
 # raster formula (functional raster source; also materialized as tiles)
 # --------------------------------------------------------------------------

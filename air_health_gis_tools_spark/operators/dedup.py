@@ -90,6 +90,54 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
             .distinct())
 
 
+def simhash_banded_pairs(sig: DataFrame, bits: int, ham_max: int,
+                         id_col: str = "doc_id", sig_col: str = "simhash"
+                         ) -> DataFrame:
+    """Near-dup pairs with Hamming(sig) ≤ ham_max via PIGEONHOLE BANDING —
+    the scale-safe replacement for the all-pairs ``a.id < b.id`` join.
+
+    Split the ``bits``-wide signature into ``ham_max + 1`` contiguous bands:
+    any pair within ham_max differing bits must agree EXACTLY on ≥ 1 band
+    (pigeonhole), so an equi-join on (band_idx, band_value) generates a
+    candidate superset; the exact ``bit_count(xor)`` verify then filters.
+    Result set is IDENTICAL to the brute-force join — this is candidate
+    pruning, not approximation (same machinery as MinHash-LSH banding
+    above, applied to Hamming space; Manku et al., WWW'07 §3).
+
+    Plan: one explode (bands per row), one hash shuffle join keyed by the
+    band value, dedup on the id pair, exact verify. No cross product.
+    Returns (id1, id2, hamming).
+    """
+    nb = ham_max + 1
+    base, extra = divmod(bits, nb)
+    sizes = [base + (1 if i < extra else 0) for i in range(nb)]
+    starts = [sum(sizes[:i]) for i in range(nb)]
+    band_cols = []
+    for i, (s, ln) in enumerate(zip(starts, sizes)):
+        val = (F.shiftrightunsigned(F.col(sig_col), s)
+               .bitwiseAND(F.lit((1 << ln) - 1)))
+        band_cols.append(F.struct(F.lit(i).alias("band"), val.alias("val")))
+    banded = (sig.select(id_col, sig_col,
+                         F.explode(F.array(*band_cols)).alias("bv"))
+              .select(id_col, sig_col, F.col("bv.band").alias("band"),
+                      F.col("bv.val").alias("val")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id1"),
+                    F.col(f"b.{id_col}").alias("id2"),
+                    F.col(f"a.{sig_col}").alias("_s1"),
+                    F.col(f"b.{sig_col}").alias("_s2"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2")))
+                .cast("long"))
+            .filter(F.col("hamming") <= ham_max)
+            .select("id1", "id2", "hamming"))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 5,
                   text_col: str = "text", id_col: str = "doc_id"
                   ) -> DataFrame:

@@ -161,6 +161,10 @@ def build_cell_index(mxs: np.ndarray, mys: np.ndarray, mids: np.ndarray,
     bounds = np.r_[starts, len(key_s)]
     for a, b in zip(bounds[:-1], bounds[1:]):
         sel = order[a:b]
+        # each cell's monitors sorted by id: np.argmin's first-match rule
+        # then IS the deterministic (d2, monitor_id) tie-break — no packed
+        # key, no id-range assumption (matches knn_broadcast_np)
+        sel = sel[np.argsort(mids[sel], kind="stable")]
         idx[int(key_s[a])] = (mxs[sel], mys[sel], mids[sel])
     return idx
 
@@ -222,8 +226,9 @@ def knn_ring_np(points: DataFrame, mon_xy_ids: tuple[np.ndarray, ...],
                     dx = sx[:, None] - hx[None, :]
                     dy = sy[:, None] - hy[None, :]
                     d2 = dx * dx + dy * dy
-                    kk = np.minimum(d2, b2 + 1) * (1 << 20) + hid[None, :]
-                    j = np.argmin(kk, axis=1)
+                    # ids ascend within a cell ⇒ argmin's first match is
+                    # the smallest-id among equal-d2 candidates
+                    j = np.argmin(d2, axis=1)
                     rows = np.arange(len(sel))
                     dd = d2[rows, j]
                     better = (dd < sb_d2) | ((dd == sb_d2) & (hid[j] < sb_id))

@@ -76,7 +76,10 @@ def cosine_topk_udf(df: DataFrame, qvec: list[float], k: int = 5,
         n2 = (m * m).sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             c = dot / np.sqrt(n2) / qn
-        return pd.Series(np.where(n2 > 0, c, np.nan))
+        # zero-norm → NULL, not NaN: Spark sorts NaN ABOVE all reals, so a
+        # NaN would jump to the top of orderBy(desc); NULL sorts last —
+        # matching the expression variant (cosine_topk) exactly
+        return pd.Series(np.where(n2 > 0, c, np.nan)).astype("Float64")
 
     return (df.withColumn("cosine", _cos(F.col(vec_col)))
             .orderBy(F.col("cosine").desc(), F.col(id_col))

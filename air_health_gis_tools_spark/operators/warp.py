@@ -20,19 +20,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..geo_synth import RASTER_H, RASTER_W
 from ..sources.raster import TILE_SCHEMA, tile_id_of
 
 
-def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int
+def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int,
+                           height: int = RASTER_H, width: int = RASTER_W
                            ) -> DataFrame:
     """Downsample a tile table by integer ``factor`` (nearest centers).
 
     Output pixel (R, C) pulls source pixel (R*f + f//2, C*f + f//2) — the
     source pixel containing the output pixel center (exact integer math).
-    Output tiling keeps ``tile_px`` pixels per tile.
+    Output tiling keeps ``tile_px`` pixels per tile. ``height``/``width``
+    are the SOURCE raster dims; edge output tiles are trimmed to the true
+    downsampled extent (ceil(height/f) × ceil(width/f)).
     """
     assert factor >= 1
     f = int(factor)
+    out_h = -(-height // f)
+    out_w = -(-width // f)
 
     out_tr = ((F.col("row0") / tile_px).cast("long") / f).cast("long")
     out_tc = ((F.col("col0") / tile_px).cast("long") / f).cast("long")
@@ -55,11 +61,119 @@ def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int
         # nearest gather at output pixel centers
         idx = np.arange(tile_px) * f + f // 2
         out = win[np.ix_(idx, idx)]
-        # trim all-NaN padding rows/cols at the raster edge
-        h = w = tile_px
+        # trim edge tiles to the true downsampled extent so h/w metadata
+        # matches the output raster dims (no phantom NaN-padded pixels)
+        h = min(tile_px, out_h - otr * tile_px)
+        w = min(tile_px, out_w - otc * tile_px)
+        out = out[:h, :w]
         return pd.DataFrame([{
             "tile_id": tile_id_of(otr, otc),
             "row0": otr * tile_px, "col0": otc * tile_px,
             "h": h, "w": w, "data": out.ravel()}])
 
     return keyed.groupBy("out_tile").applyInPandas(_assemble, TILE_SCHEMA)
+
+
+def resample_tiles_bilinear(tiles: DataFrame, factor: int, tile_px: int,
+                            height: int = RASTER_H, width: int = RASTER_W
+                            ) -> DataFrame:
+    """Bilinear downsample by integer ``factor`` (O10 second resampling
+    mode — the reference picks among nearest/bilinear/Lanczos,
+    extract_raster_buffer.py:28-35).
+
+    Output pixel center maps to source coords s = (R + 0.5)·f − 0.5 (the
+    standard area-alignment convention); the value is the 2×2 bilinear
+    blend around s, coordinates clamped at the raster edge (edge
+    replication). NaN contributors propagate to NaN — nodata does not
+    bleed a fabricated value.
+
+    Plan shape: unlike nearest (each source tile feeds exactly one output
+    tile), the 2×2 stencil needs one extra pixel beyond the window, so
+    boundary source tiles feed ≤ 2 output tiles per axis — still a single
+    narrow shuffle keyed by output tile.
+    """
+    assert factor >= 1
+    f = int(factor)
+    span = tile_px * f
+    out_h = -(-height // f)
+    out_w = -(-width // f)
+    ntr_out = (out_h + tile_px - 1) // tile_px
+    ntc_out = (out_w + tile_px - 1) // tile_px
+
+    @F.pandas_udf("array<long>")
+    def _out_tiles(row0: pd.Series, col0: pd.Series) -> pd.Series:
+        out = []
+        for r0, c0 in zip(row0.to_numpy(), col0.to_numpy()):
+            # output tile otr needs source rows [otr*span, otr*span+span+1)
+            r_lo = max(0, (int(r0) - span - 1) // span + 1)
+            r_hi = min(ntr_out - 1, (int(r0) + tile_px - 1) // span)
+            c_lo = max(0, (int(c0) - span - 1) // span + 1)
+            c_hi = min(ntc_out - 1, (int(c0) + tile_px - 1) // span)
+            out.append([tr * (1 << 32) + tc
+                        for tr in range(r_lo, r_hi + 1)
+                        for tc in range(c_lo, c_hi + 1)])
+        return pd.Series(out)
+
+    keyed = tiles.withColumn(
+        "out_tile", F.explode(_out_tiles(F.col("row0"), F.col("col0"))))
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_tile = int(key[0])
+        otr, otc = out_tile >> 32, out_tile & 0xFFFFFFFF
+        src_r0 = otr * span
+        src_c0 = otc * span
+        win = np.full((span + 1, span + 1), np.nan)
+        for t in pdf.itertuples():
+            arr = np.asarray(t.data).reshape(t.h, t.w)
+            rr = int(t.row0) - src_r0
+            cc = int(t.col0) - src_c0
+            a0, a1 = max(0, -rr), min(t.h, win.shape[0] - rr)
+            b0, b1 = max(0, -cc), min(t.w, win.shape[1] - cc)
+            if a0 < a1 and b0 < b1:
+                win[rr + a0:rr + a1, cc + b0:cc + b1] = arr[a0:a1, b0:b1]
+        h = min(tile_px, out_h - otr * tile_px)
+        w = min(tile_px, out_w - otc * tile_px)
+        if h <= 0 or w <= 0:
+            return pd.DataFrame(
+                {fld.name: pd.Series(dtype="object" if fld.name == "data"
+                                     else "int64")
+                 for fld in TILE_SCHEMA})
+        out = bilinear_gather_np(win, src_r0, src_c0, otr * tile_px,
+                                 otc * tile_px, h, w, f, height, width)
+        return pd.DataFrame([{
+            "tile_id": tile_id_of(otr, otc),
+            "row0": otr * tile_px, "col0": otc * tile_px,
+            "h": h, "w": w, "data": out.ravel()}])
+
+    return keyed.groupBy("out_tile").applyInPandas(_assemble, TILE_SCHEMA)
+
+
+def bilinear_gather_np(win: np.ndarray, win_r0: int, win_c0: int,
+                       out_r0: int, out_c0: int, h: int, w: int, f: int,
+                       height: int, width: int) -> np.ndarray:
+    """Bilinear sample of output block [out_r0, out_r0+h) × [out_c0, …+w)
+    from a source window whose [0,0] is absolute (win_r0, win_c0).
+    Shared by the distributed assemble kernel and the numpy test oracle so
+    parity is by-construction arithmetic identity."""
+    rr = np.arange(out_r0, out_r0 + h, dtype=np.float64)
+    cc = np.arange(out_c0, out_c0 + w, dtype=np.float64)
+    sy = np.clip((rr + 0.5) * f - 0.5, 0.0, height - 1.0)
+    sx = np.clip((cc + 0.5) * f - 0.5, 0.0, width - 1.0)
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, height - 1)
+    x1 = np.minimum(x0 + 1, width - 1)
+    wy = (sy - y0)[:, None]
+    wx = (sx - x0)[None, :]
+    g = lambda ys, xs: win[np.ix_(ys - win_r0, xs - win_c0)]  # noqa: E731
+
+    def term(wgt, val):
+        # a zero-weight neighbor contributes 0 even when it is NaN
+        # (0·NaN = NaN would otherwise bleed nodata into exact-grid hits);
+        # NaN under positive weight propagates — nodata is never invented
+        return np.where(wgt > 0, wgt * val, 0.0)
+
+    return (term((1 - wy) * (1 - wx), g(y0, x0))
+            + term((1 - wy) * wx, g(y0, x1))
+            + term(wy * (1 - wx), g(y1, x0))
+            + term(wy * wx, g(y1, x1)))

@@ -49,10 +49,14 @@ from pyspark.sql import types as T
 from ..geo_synth import RASTER_H, RASTER_W, XRES, raster_value_np
 
 
+def _radius_px_at(buffer_m: int, xres: int) -> int:
+    return max(math.ceil(buffer_m / xres), 1)
+
+
 def radius_px(buffer_m: int) -> int:
     """F7 semantics: ceil(buff/xres) with the v2 max(…,1) guard
     (extract_raster_buffer.py:227; calculate_focal_mean.py:95)."""
-    return max(math.ceil(buffer_m / XRES), 1)
+    return _radius_px_at(buffer_m, XRES)
 
 
 def circle_offsets(rpx: int) -> tuple[np.ndarray, np.ndarray]:
@@ -269,7 +273,9 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
 # --------------------------------------------------------------------------
 
 def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
-                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+                   x_col: str = "x", y_col: str = "y",
+                   height: int = RASTER_H, width: int = RASTER_W,
+                   xres: int = XRES) -> DataFrame:
     """Explode each point to the tile ids its max-buffer square touches.
 
     Tile key: tile_id = (row0/tile_px) * 2^32 + (col0/tile_px). A 10 km
@@ -282,12 +288,12 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
     def _tiles(x: pd.Series, y: pd.Series) -> pd.Series:
         xs = x.to_numpy().astype(np.int64)
         ys = y.to_numpy().astype(np.int64)
-        r0 = ys // XRES
-        c0 = xs // XRES
+        r0 = ys // xres
+        c0 = xs // xres
         tr_lo = np.maximum(r0 - rmax_px, 0) // tile_px
-        tr_hi = np.minimum(r0 + rmax_px, RASTER_H - 1) // tile_px
+        tr_hi = np.minimum(r0 + rmax_px, height - 1) // tile_px
         tc_lo = np.maximum(c0 - rmax_px, 0) // tile_px
-        tc_hi = np.minimum(c0 + rmax_px, RASTER_W - 1) // tile_px
+        tc_hi = np.minimum(c0 + rmax_px, width - 1) // tile_px
         # window ≤ tile ⇒ at most the 4 corner tiles; fully vectorized
         # (n, 4) block, duplicates removed JVM-side by array_distinct
         quad = np.stack([tr_lo * ntx + tc_lo, tr_lo * ntx + tc_hi,
@@ -304,7 +310,9 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
                          id_col: str = "doc_id",
                          x_col: str = "x", y_col: str = "y",
                          hot_group_rows: int = 8192,
-                         max_salt: int = 32) -> DataFrame:
+                         max_salt: int = 32,
+                         height: int = RASTER_H, width: int = RASTER_W,
+                         xres: int = XRES) -> DataFrame:
     """Partial/final zonal stats over a raster *tile table*.
 
     ``tiles``: (tile_id:long, row0:int, col0:int, h:int, w:int,
@@ -326,41 +334,43 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     sort-merge joins, applied to the cogroup.
     """
     buffers_m = list(buffers_m)
-    rmax = max(radius_px(b) for b in buffers_m)
+    rmax = max(_radius_px_at(b, xres) for b in buffers_m)
     pts = point_tile_ids(
-        points.select(id_col, x_col, y_col), rmax, tile_px, x_col, y_col)
+        points.select(id_col, x_col, y_col), rmax, tile_px, x_col, y_col,
+        height=height, width=width, xres=xres)
 
-    # ---- adaptive salt map from a pre-count of the exploded point side
-    counts = {r["tile_id"]: r["count"]
-              for r in pts.groupBy("tile_id").count().collect()}
-    salt_k = {t: min(max(-(-c // hot_group_rows), 1), max_salt)
-              for t, c in counts.items()}
-    spark = points.sparkSession
-    bc_salt = spark.sparkContext.broadcast(salt_k)
-
-    @F.pandas_udf(T.LongType())
-    def _salted_key(tile: pd.Series, ids: pd.Series) -> pd.Series:
-        t = tile.to_numpy(np.int64)
-        i = ids.to_numpy(np.int64)
-        ks = bc_salt.value
-        k = np.array([ks.get(int(v), 1) for v in t], dtype=np.int64)
-        salt = (i * 2654435761 % (1 << 31)) % k
-        return pd.Series(t * 64 + salt)
-
-    pts = pts.withColumn("gkey", _salted_key(F.col("tile_id"),
-                                             F.col(id_col)))
-    salt_rows = [(int(t), s) for t, k in salt_k.items() if k > 1
-                 for s in range(k)]
-    if salt_rows:
-        salts = spark.createDataFrame(salt_rows, "tile_id long, salt int")
-        tiles_salted = (tiles.join(F.broadcast(salts), "tile_id", "left")
-                        .withColumn("gkey",
-                                    F.col("tile_id") * 64
-                                    + F.coalesce(F.col("salt"), F.lit(0)))
-                        .drop("salt"))
-    else:
-        tiles_salted = tiles.withColumn("gkey", F.col("tile_id") * 64)
-    tiles = tiles_salted
+    # ---- adaptive salting, fully distributed: the hot-tile map is a
+    # DataFrame (only tiles with count > hot_group_rows survive the filter),
+    # broadcast-joined onto both sides. Nothing proportional to the tile
+    # count ever touches the driver — at a 100 TB raster the hot set is
+    # bounded by n_points / hot_group_rows, and cold tiles (the vast
+    # majority) take salt_k = 1 via the left-join default.
+    hot = (pts.groupBy("tile_id").count()
+           .filter(F.col("count") > hot_group_rows)
+           .select("tile_id",
+                   F.least(F.ceil(F.col("count") / hot_group_rows),
+                           F.lit(max_salt)).cast("long").alias("salt_k")))
+    # point side: salt = hash(id) % salt_k (same Knuth multiplicative hash
+    # as before; salting only regroups (point, tile) partials, so outputs
+    # are unchanged — partials are computed whole within one group)
+    pts = (pts.join(F.broadcast(hot), "tile_id", "left")
+           .withColumn("_k", F.coalesce(F.col("salt_k"), F.lit(1)))
+           .withColumn(
+               "gkey",
+               F.col("tile_id") * 64
+               + F.pmod(F.pmod(F.col(id_col) * F.lit(2654435761),
+                               F.lit(1 << 31)), F.col("_k")))
+           .drop("salt_k", "_k"))
+    # tile side: a hot tile replicates into each of its salt groups (the
+    # raster row fans out, never the points); cold tiles pay nothing
+    tiles = (tiles.join(F.broadcast(hot), "tile_id", "left")
+             .withColumn(
+                 "_salt",
+                 F.explode(F.sequence(
+                     F.lit(0).cast("long"),
+                     F.coalesce(F.col("salt_k"), F.lit(1)) - 1)))
+             .withColumn("gkey", F.col("tile_id") * 64 + F.col("_salt"))
+             .drop("salt_k", "_salt"))
 
     # one WIDE partial row per (point, tile): no per-buffer row blowup and
     # no pivot stage in the final combine
@@ -376,13 +386,33 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     _dr, _dc = np.meshgrid(rng0, rng0, indexing="ij")
     _dr = _dr.ravel(); _dc = _dc.ravel()
     _d2 = _dr * _dr + _dc * _dc
-    _sels = {b: np.flatnonzero(_d2 <= radius_px(b) ** 2) for b in buffers_m}
+    _sels = {b: np.flatnonzero(_d2 <= _radius_px_at(b, xres) ** 2)
+             for b in buffers_m}
 
     def _partial(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
                  ) -> pd.DataFrame:
-        if pdf_points.empty or pdf_tiles.empty:
+        if pdf_points.empty:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype="float64") for f in partial_schema})
+        if pdf_tiles.empty:
+            # tile absent from the table (out-of-coverage): emit zero-count
+            # partials for the points whose HOME tile this is, so they stay
+            # in the output with n_valid = 0 / NULL stats — row-count parity
+            # with the broadcast-kernel strategy for arbitrary tile tables.
+            tile_id = int(key[0]) // 64
+            tr, tc = tile_id >> 32, tile_id & 0xFFFFFFFF
+            xs = pdf_points[x_col].to_numpy().astype(np.int64)
+            ys = pdf_points[y_col].to_numpy().astype(np.int64)
+            home = (((ys // xres) // tile_px == tr)
+                    & ((xs // xres) // tile_px == tc))
+            ids = pdf_points[id_col].to_numpy()[home]
+            cols_out = {id_col: ids}
+            for b in buffers_m:
+                cols_out[f"s_{b}"] = np.zeros(len(ids))
+                cols_out[f"cnt_{b}"] = np.zeros(len(ids), dtype=np.int64)
+                cols_out[f"mn_{b}"] = np.full(len(ids), np.inf)
+                cols_out[f"mx_{b}"] = np.full(len(ids), -np.inf)
+            return pd.DataFrame(cols_out)
         t = pdf_tiles.iloc[0]
         th, tw = int(t["h"]), int(t["w"])
         arr = np.asarray(t["data"], dtype=np.float64).reshape(th, tw)
@@ -390,8 +420,13 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
         xs = pdf_points[x_col].to_numpy().astype(np.int64)
         ys = pdf_points[y_col].to_numpy().astype(np.int64)
         ids = pdf_points[id_col].to_numpy()
-        pr_all = ys // XRES
-        pc_all = xs // XRES
+        pr_all = ys // xres
+        pc_all = xs // xres
+        # home-tile membership: these rows are kept even at zero count so
+        # every point keeps exactly one guaranteed partial row (row-count
+        # parity with buffered_stats when a buffer is all-nodata)
+        home_all = ((pr_all >= row0) & (pr_all < row0 + th)
+                    & (pc_all >= col0) & (pc_all < col0 + tw))
         frames = []
         # chunked so hot (salted) groups never build giant temporaries
         for s0 in range(0, len(xs), _CHUNK):
@@ -423,7 +458,7 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
                 cols_out[f"mx_{b}"] = mx
                 any_cnt += cnt
             df_out = pd.DataFrame(cols_out)
-            frames.append(df_out[any_cnt > 0])
+            frames.append(df_out[(any_cnt > 0) | home_all[s0:s1]])
         return pd.concat(frames, ignore_index=True)
 
     partial = (pts.groupBy("gkey")

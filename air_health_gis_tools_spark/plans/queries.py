@@ -69,6 +69,13 @@ def polys_df(spark: SparkSession, n: int = G.N_POLYS) -> DataFrame:
         F.expr(cx).alias("cx"), F.expr(cy).alias("cy"), F.expr(r).alias("r"))
 
 
+def polys_big_df(spark: SparkSession, n: int = G.N_POLYS) -> DataFrame:
+    cx, cy, r = G.poly_circle_big_sql("id", "spark")
+    return spark.range(n).select(
+        F.col("id").alias("poly_id"),
+        F.expr(cx).alias("cx"), F.expr(cy).alias("cy"), F.expr(r).alias("r"))
+
+
 def _pts_cte(dialect: str) -> str:
     x, y = G.point_xy_sql("doc_id", dialect)
     return f"SELECT doc_id, {x} AS x, {y} AS y FROM documents"
@@ -288,15 +295,23 @@ FROM polys g LEFT JOIN hits h USING (poly_id)
 
 
 def q08_pip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pip_circle_counts(docs_xy(spark, sf_dir), polys_df(spark),
+    """Grouped PIP over the LARGE polygon fixture (50-250 km circles) so the
+    sf0.01 driver check returns non-empty groups — see poly_circle_big_sql."""
+    return pip_circle_counts(docs_xy(spark, sf_dir), polys_big_df(spark),
                              group_cols=["lang"])
+
+
+def _polys_big_cte_duckdb() -> str:
+    cx, cy, r = G.poly_circle_big_sql("p.range", "duckdb")
+    return (f"SELECT p.range AS poly_id, {cx} AS cx, {cy} AS cy, {r} AS r "
+            f"FROM range({G.N_POLYS}) p")
 
 
 def q08_sql() -> str:
     return f"""
 WITH pts AS (SELECT d.doc_id, d.lang, p.x, p.y
              FROM documents d JOIN ({_pts_cte('duckdb')}) p USING (doc_id)),
-polys AS ({_polys_cte_duckdb()})
+polys AS ({_polys_big_cte_duckdb()})
 SELECT g.poly_id, p.lang, count(*) AS n_points
 FROM polys g JOIN pts p
   ON (p.x - g.cx) * (p.x - g.cx) + (p.y - g.cy) * (p.y - g.cy) <= g.r * g.r
@@ -1000,11 +1015,27 @@ FROM scored GROUP BY 1, 2
 # the LSH-prefiltered approximate variant is q24)
 # --------------------------------------------------------------------------
 
-NEARDUP_COS = 0.95
+NEARDUP_COS = 0.45         # max pairwise cosine in the synthetic corpus is
+                           # ~0.513 at sf0.01: 0.45 yields a small non-empty
+                           # result (a 0-row hash match proves nothing)
+NEARDUP_MAX_EXACT_ROWS = 100_000   # guard: the exact variant is O(n²)
 
 
 def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs near-dup baseline — deliberately quadratic, guarded.
+
+    This is the correctness baseline the approximate paths are measured
+    against; at scale use sign-LSH (q24) or IVF (q41). The guard refuses
+    inputs past NEARDUP_MAX_EXACT_ROWS so the O(n²) join can't be launched
+    against a production-size table by accident.
+    """
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n > NEARDUP_MAX_EXACT_ROWS:
+        raise ValueError(
+            f"exact near-dup is O(n²); {n} rows > "
+            f"{NEARDUP_MAX_EXACT_ROWS}. Use ann_topk_lsh / ann_topk_ivf "
+            f"(q24/q41) or raise NEARDUP_MAX_EXACT_ROWS explicitly.")
     q1 = SIM._quant_expr("emb1")
     q2 = SIM._quant_expr("emb2")
     a = emb.select(F.col("vec_id").alias("id1"),
@@ -1086,7 +1117,9 @@ FROM events
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 60          # stay clear of the BIGINT sign bit
-SIMHASH_HAM_MAX = 20
+SIMHASH_HAM_MAX = 6        # pigeonhole-bandable (7 bands of 8-9 bits); at
+                           # sf0.01 the corpus has ~140 pairs ≤ 6 — non-
+                           # vacuous, and the near-dup regime this models
 
 
 def _simhash_digit_exprs(dialect: str) -> list[str]:
@@ -1160,17 +1193,11 @@ SELECT doc_id, {_simhash_assemble()} AS simhash FROM agg
 
 
 def q40_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (pigeonhole) SimHash near-dup join — NO cross product; the
+    DuckDB oracle stays the brute-force form, results identical by the
+    pigeonhole guarantee (dedup.simhash_banded_pairs)."""
     sig = q39_simhash_md5(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("id1"),
-                   F.col("simhash").alias("s1"))
-    b = sig.select(F.col("doc_id").alias("id2"),
-                   F.col("simhash").alias("s2"))
-    return (a.join(b, F.col("id1") < F.col("id2"))
-            .withColumn("hamming",
-                        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-                        .cast("long"))
-            .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-            .select("id1", "id2", "hamming"))
+    return DD.simhash_banded_pairs(sig, SIMHASH_BITS, SIMHASH_HAM_MAX)
 
 
 def q40_sql() -> str:
@@ -1220,16 +1247,13 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit FNV SimHash near-dups via the same pigeonhole banding as q40
+    (9 bands for ham ≤ 8) — exact result set, no all-pairs join."""
     d = _docs(spark, sf_dir)
     sh = TXT.simhash_udf()
     f = d.select("doc_id", sh(F.col("text")).alias("fp"))
-    a, b = f.alias("a"), f.alias("b")
-    near = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id1"),
-                    F.col("b.doc_id").alias("id2"),
-                    TXT.hamming64(F.col("a.fp"), F.col("b.fp")).alias("ham"))
-            .filter(F.col("ham") <= 8))
-    return near
+    return (DD.simhash_banded_pairs(f, bits=64, ham_max=8, sig_col="fp")
+            .withColumnRenamed("hamming", "ham"))
 
 
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

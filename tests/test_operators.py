@@ -50,6 +50,42 @@ def test_tiled_zonal_equals_formula_kernel(spark, pts):
             assert np.array_equal(av, bv), c
 
 
+def test_tiled_zonal_salting_is_transparent(spark, pts):
+    """Force the hot-tile path (tiny hot_group_rows → every tile salted,
+    several salt groups each): outputs must be bit-identical — salting only
+    regroups (point, tile) partials, it never splits one."""
+    tiles = synthetic_tile_table(spark, tile_px=256)
+    a = _sorted_pdf(buffered_stats_tiled(pts, tiles, list(G.BUFFERS_M), 256,
+                                         hot_group_rows=8, max_salt=4))
+    b = _sorted_pdf(buffered_stats_tiled(pts, tiles, list(G.BUFFERS_M), 256))
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(np.nan_to_num(av, nan=-1.0),
+                                  np.nan_to_num(bv, nan=-1.0)), c
+        else:
+            assert np.array_equal(av, bv), c
+
+
+def test_tiled_zonal_keeps_points_outside_coverage(spark, pts):
+    """A point whose buffers fall entirely on missing tiles (out-of-coverage
+    raster) must still appear in the output with n_valid = 0 and NULL stats
+    — row-count parity with the broadcast-kernel strategy."""
+    tiles = synthetic_tile_table(spark, tile_px=256)
+    # drop the tiles under the first point's neighborhood
+    one = pts.orderBy("doc_id").limit(1).collect()[0]
+    tr = (one["y"] // G.XRES) // 256
+    tc = (one["x"] // G.XRES) // 256
+    drop = [int((tr + i) * (1 << 32) + (tc + j))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    holey = tiles.filter(~F.col("tile_id").isin(drop))
+    out = _sorted_pdf(
+        buffered_stats_tiled(pts, holey, list(G.BUFFERS_M), 256))
+    assert len(out) == pts.count(), "every point keeps a row"
+    row = out[out["doc_id"] == one["doc_id"]].iloc[0]
+    assert row["n_valid_10000"] == 0 or np.isfinite(row["mean_10000"])
+
+
 def test_knn_three_strategies_agree(spark, pts):
     ids = np.arange(G.N_MONITORS, dtype=np.int64)
     mx, my = G.monitor_xy_np(ids)

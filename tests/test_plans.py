@@ -52,6 +52,15 @@ def test_q07_pip_all_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_q40_simhash_pairs_no_cross_product(spark):
+    """The banded SimHash join must be a hash equi-join on (band, value) —
+    never a cartesian/nested-loop O(n²) plan (VERDICT r1 'What's wrong' #2)."""
+    for q in ("q40_simhash_pairs", "q23_simhash_nn"):
+        p = plan_of(Q.QUERIES[q](spark, SF_DIR))
+        assert "Cartesian" not in p, q
+        assert "NestedLoop" not in p, q
+
+
 def test_q28_topk_no_global_sort(spark):
     p = plan_of(Q.q28_topk_quality(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
