@@ -20,7 +20,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..geo_synth import RASTER_H, RASTER_W
+from pyspark.sql import types as T
+
+from ..geo_synth import RASTER_H, RASTER_W, XRES
 from ..sources.raster import TILE_SCHEMA, tile_id_of
 
 
@@ -116,3 +118,144 @@ def convolve_tiles(tiles: DataFrame, kernel: np.ndarray, tile_px: int,
 
     return (contrib.groupBy("out_tile")
             .applyInPandas(_assemble, TILE_SCHEMA))
+
+
+def gather_point_values(points: DataFrame, tiles: DataFrame,
+                        id_col: str = "doc_id",
+                        x_col: str = "x", y_col: str = "y",
+                        out_col: str = "value",
+                        tile_px: int = 256, xres: int = XRES) -> DataFrame:
+    """Per-point single-pixel gather from a tile table (J2 on tiles).
+
+    Each point reads exactly the tile containing its pixel: cogroup on
+    tile_id, one array index per point. The 'gather many' half of the
+    reference's Method 1 — convolve once, then every point is a cheap
+    lookup (extract_raster_buffer.py:220-245). Points whose tile is absent
+    gather NULL.
+    """
+    pts = points.select(id_col, x_col, y_col).withColumn(
+        "tile_id",
+        ((F.col(y_col) / xres).cast("long") / tile_px).cast("long")
+        * F.lit(1 << 32)
+        + ((F.col(x_col) / xres).cast("long") / tile_px).cast("long"))
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.DoubleType())])
+
+    def _gather(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
+                ) -> pd.DataFrame:
+        if pdf_points.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 out_col: pd.Series(dtype="float64")})
+        ids = pdf_points[id_col].to_numpy()
+        if pdf_tiles.empty:
+            return pd.DataFrame({id_col: ids,
+                                 out_col: np.full(len(ids), np.nan)})
+        t = pdf_tiles.iloc[0]
+        arr = np.asarray(t["data"], dtype=np.float64).reshape(
+            int(t["h"]), int(t["w"]))
+        rr = (pdf_points[y_col].to_numpy().astype(np.int64) // xres
+              - int(t["row0"]))
+        cc = (pdf_points[x_col].to_numpy().astype(np.int64) // xres
+              - int(t["col0"]))
+        return pd.DataFrame({id_col: ids, out_col: arr[rr, cc]})
+
+    return (pts.groupBy("tile_id")
+            .cogroup(tiles.groupBy("tile_id"))
+            .applyInPandas(_gather, schema))
+
+
+def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
+                             tile_px: int,
+                             height: int = RASTER_H, width: int = RASTER_W
+                             ) -> DataFrame:
+    """Multi-kernel focal SUM + VALID-COUNT convolution in ONE halo pass.
+
+    ``kernels``: {name: 0/1 ndarray}. The window is assembled once per
+    output tile; each kernel then produces two planes — nansum and valid
+    count — so a downstream point gather can form the NaN-aware buffered
+    MEAN (A1 semantics: sum/valid-count, not sum/kernel-area). This is the
+    'convolve once' half of the reference's Method 1, generalized to all
+    buffer radii in one shuffle.
+
+    Boundary: outside-extent pixels stay NaN (A1 clips at the raster edge,
+    utils.py:82-84) — unlike ``convolve_tiles``'s 'extend' replication
+    (A2/astropy semantics).
+    """
+    halos = {k: (v.shape[0] // 2, v.shape[1] // 2)
+             for k, v in kernels.items()}
+    ph = max(h for h, _ in halos.values())
+    pw = max(w for _, w in halos.values())
+    assert ph <= tile_px and pw <= tile_px, "halo larger than tile"
+    spark = tiles.sparkSession
+    bc_kernels = spark.sparkContext.broadcast(
+        {k: np.asarray(v, dtype=np.float64) for k, v in kernels.items()})
+    ntr = (height + tile_px - 1) // tile_px
+    ntc = (width + tile_px - 1) // tile_px
+
+    fields = [T.StructField("tile_id", T.LongType()),
+              T.StructField("row0", T.IntegerType()),
+              T.StructField("col0", T.IntegerType()),
+              T.StructField("h", T.IntegerType()),
+              T.StructField("w", T.IntegerType())]
+    for k in kernels:
+        fields += [T.StructField(f"s_{k}", T.ArrayType(T.DoubleType())),
+                   T.StructField(f"c_{k}", T.ArrayType(T.LongType()))]
+    out_schema = T.StructType(fields)
+
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    off_col = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                        for a, b in offs])
+    trow = (F.col("row0") / tile_px).cast("int")
+    tcol = (F.col("col0") / tile_px).cast("int")
+    contrib = (tiles
+               .withColumn("_o", F.explode(off_col))
+               .withColumn("_tr", trow + F.col("_o.di"))
+               .withColumn("_tc", tcol + F.col("_o.dj"))
+               .filter((F.col("_tr") >= 0) & (F.col("_tr") < ntr)
+                       & (F.col("_tc") >= 0) & (F.col("_tc") < ntc))
+               .withColumn("out_tile",
+                           F.col("_tr").cast("long") * F.lit(1 << 32)
+                           + F.col("_tc"))
+               .drop("_o", "_tr", "_tc"))
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_tile = int(key[0])
+        otr, otc = out_tile >> 32, out_tile & 0xFFFFFFFF
+        r0 = otr * tile_px
+        c0 = otc * tile_px
+        h = min(tile_px, height - r0)
+        w = min(tile_px, width - c0)
+        win = np.full((h + 2 * ph, w + 2 * pw), np.nan)
+        wr0, wc0 = r0 - ph, c0 - pw
+        for t in pdf.itertuples():
+            arr = np.asarray(t.data).reshape(t.h, t.w)
+            rr = t.row0 - wr0
+            cc = t.col0 - wc0
+            a0, a1 = max(0, -rr), min(t.h, win.shape[0] - rr)
+            b0, b1 = max(0, -cc), min(t.w, win.shape[1] - cc)
+            if a0 < a1 and b0 < b1:
+                win[rr + a0:rr + a1, cc + b0:cc + b1] = arr[a0:a1, b0:b1]
+        filled = np.nan_to_num(win, nan=0.0)
+        valid = (~np.isnan(win)).astype(np.float64)
+        row = {"tile_id": tile_id_of(otr, otc), "row0": r0, "col0": c0,
+               "h": h, "w": w}
+        for name, kern in bc_kernels.value.items():
+            kh, kw = kern.shape
+            hh, hw = kh // 2, kw // 2
+            # the kernel's own halo window inside the max-halo frame
+            fr0, fc0 = ph - hh, pw - hw
+            s = np.zeros((h, w))
+            c = np.zeros((h, w))
+            for di in range(kh):
+                for dj in range(kw):
+                    if kern[di, dj] != 0:
+                        s += filled[fr0 + di:fr0 + di + h,
+                                    fc0 + dj:fc0 + dj + w]
+                        c += valid[fr0 + di:fr0 + di + h,
+                                   fc0 + dj:fc0 + dj + w]
+            row[f"s_{name}"] = s.ravel()
+            row[f"c_{name}"] = c.ravel().astype(np.int64)
+        return pd.DataFrame([row])
+
+    return (contrib.groupBy("out_tile")
+            .applyInPandas(_assemble, out_schema))

@@ -483,3 +483,80 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
             F.coalesce(F.col(f"cnt_{b}"), F.lit(0)).alias(f"n_valid_{b}"),
         ]
     return final.select(cols)
+
+
+def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
+                               buffers_m: Sequence[int], tile_px: int,
+                               id_col: str = "doc_id",
+                               x_col: str = "x", y_col: str = "y",
+                               height: int = RASTER_H, width: int = RASTER_W,
+                               xres: int = XRES) -> DataFrame:
+    """Third physical strategy — the reference's Method 1 ('convolve once,
+    gather many', extract_raster_buffer.py:220-245), distributed.
+
+    When points ≫ pixels, every pixel's buffer sum is reused by many
+    points, so precompute per-pixel (nansum, valid-count) planes for every
+    buffer radius in ONE halo convolution pass
+    (convolve.convolve_sum_count_tiles), then each point is a single-pixel
+    gather: mean_b = s_b/c_b — exactly A1's sum/valid-count semantics,
+    bit-identical to the kernel strategies (integer-valued sums). min/max
+    are not convolution-expressible; this strategy emits mean + n_valid
+    (the reference's Method 1 computes only the focal mean too).
+
+    Cost: raster moves ≤ 9× tile fan-out once, points shuffle once (tile
+    cogroup) — independent of the number of points per pixel.
+    """
+    from .convolve import convolve_sum_count_tiles
+    buffers_m = list(buffers_m)
+    kernels = {}
+    for b in buffers_m:
+        rpx = _radius_px_at(b, xres)
+        rng = np.arange(-rpx, rpx + 1, dtype=np.int64)
+        dr, dc = np.meshgrid(rng, rng, indexing="ij")
+        kernels[str(b)] = (dr * dr + dc * dc <= rpx * rpx).astype(np.float64)
+    conv = convolve_sum_count_tiles(tiles, kernels, tile_px, height, width)
+
+    pts = points.select(id_col, x_col, y_col).withColumn(
+        "tile_id",
+        ((F.col(y_col) / xres).cast("long") / tile_px).cast("long")
+        * F.lit(1 << 32)
+        + ((F.col(x_col) / xres).cast("long") / tile_px).cast("long"))
+
+    fields = [T.StructField(id_col, T.LongType())]
+    for b in buffers_m:
+        fields += [T.StructField(f"mean_{b}", T.DoubleType()),
+                   T.StructField(f"n_valid_{b}", T.LongType())]
+    schema = T.StructType(fields)
+
+    def _gather(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
+                ) -> pd.DataFrame:
+        if pdf_points.empty:
+            return pd.DataFrame({f.name: pd.Series(
+                dtype="int64" if f.name == id_col or f.name.startswith("n_")
+                else "float64") for f in schema.fields})
+        ids = pdf_points[id_col].to_numpy()
+        out = {id_col: ids}
+        if pdf_tiles.empty:
+            for b in buffers_m:
+                out[f"mean_{b}"] = np.full(len(ids), np.nan)
+                out[f"n_valid_{b}"] = np.zeros(len(ids), dtype=np.int64)
+            return pd.DataFrame(out)
+        t = pdf_tiles.iloc[0]
+        th, tw = int(t["h"]), int(t["w"])
+        rr = (pdf_points[y_col].to_numpy().astype(np.int64) // xres
+              - int(t["row0"]))
+        cc = (pdf_points[x_col].to_numpy().astype(np.int64) // xres
+              - int(t["col0"]))
+        for b in buffers_m:
+            s = np.asarray(t[f"s_{b}"], dtype=np.float64).reshape(th, tw)
+            c = np.asarray(t[f"c_{b}"], dtype=np.int64).reshape(th, tw)
+            cnt = c[rr, cc]
+            out[f"mean_{b}"] = np.where(cnt > 0,
+                                        s[rr, cc] / np.maximum(cnt, 1),
+                                        np.nan)
+            out[f"n_valid_{b}"] = cnt
+        return pd.DataFrame(out)
+
+    return (pts.groupBy("tile_id")
+            .cogroup(conv.groupBy("tile_id"))
+            .applyInPandas(_gather, schema))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,31 +53,56 @@ class CheckpointStore:
 
 def run_stage(df: DataFrame, part_col: str, store: CheckpointStore,
               buckets: list | None = None) -> DataFrame:
-    """Execute ``df`` bucket-by-bucket with resume.
+    """Execute the missing buckets in ONE partitioned write, with resume.
 
-    Each bucket is an independent Spark job writing an immutable parquet
-    dir, committed to the manifest with row count + latency. Already-done
-    buckets are skipped (resume). Returns the full result DataFrame.
+    All not-yet-done buckets are written by a single Spark job
+    (``partitionBy`` on a copy of the bucket key — one scan of the source,
+    full inter-bucket parallelism), then each bucket directory is moved
+    into place and committed to the manifest individually: a crash between
+    commits re-runs only the uncommitted buckets, exactly as before. The
+    previous implementation ran one filter-job per bucket — B full scans
+    of the input and zero inter-bucket parallelism (VERDICT r1 #3).
     """
     spark = df.sparkSession
     if buckets is None:
         buckets = [r[0] for r in
                    df.select(part_col).distinct().orderBy(part_col).collect()]
     done = store.done_buckets()
-    for b in buckets:
-        key = str(b)
-        if key in done:
-            continue
+    todo = [b for b in buckets if str(b) not in done]
+    if todo:
         t0 = time.perf_counter()
-        part = df.filter(F.col(part_col) == F.lit(b))
-        path = store.bucket_path(key)
-        part.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
-        store.commit_bucket(key, {
-            "rows": n,
-            "seconds": round(time.perf_counter() - t0, 3),
-            "attempt_epoch": len(done),
-        })
+        tmp = os.path.join(store.root, "stage_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # `part_bucket` is a COPY of part_col: partitionBy consumes it for
+        # the
+        # directory layout while part_col itself stays in the data files,
+        # so per-bucket read-back keeps the full schema. (No leading
+        # underscore anywhere: Spark's FileIndex silently ignores _-prefixed
+        # paths, which would blank the counts read.)
+        staged = (df.filter(F.col(part_col).isin(todo))
+                  .withColumn("part_bucket", F.col(part_col).cast("string")))
+        staged.write.mode("overwrite").partitionBy("part_bucket").parquet(tmp)
+        # str() both sides: partition-column type inference may read the
+        # directory value back as int
+        counts = {str(r["part_bucket"]): r["count"] for r in
+                  spark.read.parquet(tmp).groupBy("part_bucket").count()
+                  .collect()}
+        elapsed = round(time.perf_counter() - t0, 3)
+        for b in todo:
+            key = str(b)
+            src = os.path.join(tmp, f"part_bucket={key}")
+            dst = store.bucket_path(key)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            else:   # bucket empty in this run: materialize the schema
+                df.limit(0).write.mode("overwrite").parquet(dst)
+            store.commit_bucket(key, {
+                "rows": int(counts.get(key, 0)),
+                "seconds": elapsed,
+                "attempt_epoch": len(done),
+            })
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(*[store.bucket_path(str(b)) for b in buckets])
 
 

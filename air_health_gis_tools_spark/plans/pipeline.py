@@ -26,7 +26,8 @@ from ..functions.cells import hex_cell_udf
 from ..functions.geocode import with_xy
 from ..operators.knn import knn_cell_join
 from ..operators.pip import pip_circle_counts
-from ..operators.zonal import buffered_stats, buffered_stats_tiled
+from ..operators.zonal import (buffered_mean_convolve_all, buffered_stats,
+                               buffered_stats_tiled)
 
 
 @dataclass
@@ -68,7 +69,8 @@ def extract_pipeline(pages: DataFrame, monitors: DataFrame,
                      salt_buckets: int = 64,
                      tiles: DataFrame | None = None,
                      tile_px: int = 256,
-                     n_points_estimate: int = 1_000_000
+                     n_points_estimate: int = 1_000_000,
+                     raster_px: int | None = None
                      ) -> dict[str, DataFrame]:
     """Full extraction over a pages table. Returns the three result tables.
 
@@ -92,15 +94,24 @@ def extract_pipeline(pages: DataFrame, monitors: DataFrame,
     slim = pts.select("url", "doc_id", "x", "y",
                       "cell_hex_7", "cell_hex_8", "cell_hex_9")
 
-    plan = choose_zonal_strategy(G.RASTER_W * G.RASTER_H,
+    plan = choose_zonal_strategy(raster_px or G.RASTER_W * G.RASTER_H,
                                  n_points=n_points_estimate,
                                  n_buffers=len(buffers_m))
-    if tiles is not None:
+    # the planner DECIDES the physical path (strategies needing a tile
+    # table degrade to the broadcast kernel when none is supplied — the
+    # raster is then resident by definition)
+    strategy = plan.strategy if tiles is not None else "broadcast"
+    if strategy == "tiled":
         zon = buffered_stats_tiled(slim, tiles, buffers_m, tile_px,
                                    id_col="doc_id")
         zon = slim.select("url", "doc_id").join(zon, "doc_id")
+    elif strategy == "convolve_all":
+        zon = buffered_mean_convolve_all(slim, tiles, buffers_m, tile_px,
+                                         id_col="doc_id")
+        zon = slim.select("url", "doc_id").join(zon, "doc_id")
     else:
         zon = buffered_stats(slim, buffers_m)
+    plan = ZonalPlan(strategy, plan.reason)
     knn = knn_cell_join(slim, monitors, G.KNN_BOUND_M)
     pip = pip_circle_counts(slim, polys)
     return {"zonal": zon, "knn": knn, "pip": pip, "points": slim,

@@ -854,6 +854,29 @@ GROUP BY p.doc_id
 
 
 # --------------------------------------------------------------------------
+# q42 Method-1 'convolve once, gather many' (O1): the SAME A2 semantics as
+# q33, but computed by the DISTRIBUTED tile convolution (halo exchange) and
+# a per-point single-pixel gather — the plan the planner picks when
+# points >> pixels. Oracle identical to q33's (bit-equal by integer math).
+# --------------------------------------------------------------------------
+
+def q42_convolve_all_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ref_compat import ref_create_buffer_mask
+    from ..operators.convolve import convolve_tiles, gather_point_values
+    from ..sources.raster import synthetic_tile_table
+    kernel = ref_create_buffer_mask(A2_RADIUS_PX).astype(np.float64)
+    tiles = synthetic_tile_table(spark, tile_px=256)
+    conv = convolve_tiles(tiles, kernel, tile_px=256)
+    pts = docs_xy(spark, sf_dir)
+    return gather_point_values(pts, conv, out_col="focal_density",
+                               tile_px=256)
+
+
+def q42_sql() -> str:
+    return q33_sql()
+
+
+# --------------------------------------------------------------------------
 # q34 polygon zonal statistics (J7 + A7: rasterstats zonal_stats with the
 # custom 'sumna' aggregator — sum of positive pixels / polygon area km²,
 # reference Examples/ExamplesOriginal/1 - Population Density.py:31-48)
@@ -1309,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_simhash_md5": q39_simhash_md5,
     "q40_simhash_pairs": q40_simhash_pairs,
     "q41_ann_ivf": q41_ann_ivf,
+    "q42_convolve_all_gather": q42_convolve_all_gather,
 }
 
 ORACLES: dict[str, str] = {
@@ -1347,4 +1371,5 @@ ORACLES: dict[str, str] = {
     "q38_running_totals": q38_sql(),
     "q39_simhash_md5": q39_sql(),
     "q40_simhash_pairs": q40_sql(),
+    "q42_convolve_all_gather": q42_sql(),
 }
