@@ -168,15 +168,39 @@ def ann_topk_ivf(df: DataFrame, qvec: list[float], k: int = 5,
 def ann_topk_lsh(df: DataFrame, qvec: list[float], k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 seed: int = 42) -> DataFrame:
-    """ANN: restrict exact scoring to the query's LSH bucket (falls back to
-    full scan if the bucket has < k members is NOT done here — recall
-    tradeoff is the caller's choice, documented)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+                 seed: int = 42, n_tables: int = 1) -> DataFrame:
+    """ANN: restrict exact scoring to the query's LSH bucket(s).
+
+    ``n_tables`` independent hash tables (different seeded hyperplane
+    sets): a vector is a candidate if it shares the query's bucket in ANY
+    table — the standard recall amplifier (prob. of missing a true
+    neighbor decays exponentially in the table count). One kernel pass
+    computes all table buckets; the candidate filter is a disjunction of
+    equi-predicates, so at scale it stays a bucket-pruned scan, not a
+    cross join. Empty-bucket fallback to full scan is NOT done here —
+    recall tradeoff is the caller's choice, documented."""
     q = np.asarray(qvec, dtype=np.float64)
-    qb = int(((q @ planes.T >= 0)
-              * (1 << np.arange(n_planes))).sum())
-    bucketed = lsh_buckets(df, n_planes, dim, id_col, vec_col, seed)
-    return cosine_topk(bucketed.filter(F.col("bucket") == qb), qvec, k,
-                       id_col, vec_col)
+    all_planes = []
+    qbs = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        all_planes.append(planes)
+        qbs.append(int(((q @ planes.T >= 0)
+                        * (1 << np.arange(n_planes))).sum()))
+    stack = np.stack(all_planes)          # (T, P, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)      # (n, dim)
+        signs = np.einsum("nd,tpd->ntp", m, stack) >= 0       # (n, T, P)
+        b = (signs * weights).sum(axis=2).astype(np.int64)    # (n, T)
+        return pd.Series(list(b))
+
+    bucketed = df.withColumn("buckets", _buckets(F.col(vec_col)))
+    cond = None
+    for t, qb in enumerate(qbs):
+        c = F.col("buckets").getItem(t) == qb
+        cond = c if cond is None else (cond | c)
+    return cosine_topk(bucketed.filter(cond), qvec, k, id_col, vec_col)

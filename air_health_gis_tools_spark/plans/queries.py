@@ -1247,11 +1247,16 @@ def q30_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the recall@10 ≥ 0.9 operating point for THIS corpus
+    (n_lists=8, n_probe=6 — the fixture's embeddings are uniform-random,
+    the worst case for any partition-pruned ANN; see
+    tests/test_similarity.py for the measured recall/n_probe curve and the
+    planted-cluster benchmark where pruning is far more selective)."""
     from ..operators.similarity import ann_topk_ivf
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
             .select("embedding").head()[0])
-    return ann_topk_ivf(emb, list(qvec), k=TOPK_K, n_lists=8, n_probe=2)
+    return ann_topk_ivf(emb, list(qvec), k=TOPK_K, n_lists=8, n_probe=6)
 
 
 def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,15 +50,50 @@ def test_ivf_full_probe_equals_exact(emb, qvec):
     assert full == exact
 
 
-def test_ann_recall_reported(emb, qvec):
-    """ANN variants must reach reasonable recall@10 on this corpus; the
-    exact threshold is a property of the data — we pin a floor and print
-    the measured values for BENCH notes."""
+def test_ann_recall_curve_and_floor(emb, qvec):
+    """recall@10 vs n_probe on the FIXTURE corpus (uniform-random vectors —
+    the hardest case for partition-pruned ANN: the 10th neighbor sits at
+    cosine ≈ 0.45, barely above the bulk). The q41 operating point
+    (8 lists / 6 probes) must clear 0.9; the curve is printed for BENCH."""
     exact = set(cosine_topk(emb, qvec, k=10).toPandas()["vec_id"])
-    ivf = set(ann_topk_ivf(emb, qvec, k=10, n_lists=8,
+    curve = {}
+    for n_probe in (1, 2, 4, 6, 8):
+        got = set(ann_topk_ivf(emb, qvec, k=10, n_lists=8,
+                               n_probe=n_probe).toPandas()["vec_id"])
+        curve[n_probe] = len(got & exact) / 10
+    print(f"ivf recall@10 by n_probe (8 lists): {curve}")
+    assert curve[6] >= 0.9          # q41's operating point
+    assert curve[8] == 1.0          # full probe == exact (proven again)
+    lsh = set(ann_topk_lsh(emb, qvec, k=10,
+                           n_tables=4).toPandas()["vec_id"])
+    print(f"lsh recall@10 (8 planes, 4 tables): {len(lsh & exact) / 10}")
+
+
+def _planted_corpus(spark, n_noise=480, n_near=10, dim=64, seed=7):
+    """Query + planted near-duplicates (cos ≈ 0.99) in random noise —
+    the regime ANN pruning is FOR; recall here measures the operator, not
+    the adversarial data."""
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal(dim)
+    near = q[None, :] + 0.05 * rng.standard_normal((n_near, dim))
+    noise = rng.standard_normal((n_noise, dim))
+    vecs = np.vstack([q, near, noise])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            [float(v) for v in q])
+
+
+def test_ann_high_recall_on_clustered_data(spark):
+    df, q = _planted_corpus(spark)
+    df = df.cache()
+    exact = set(cosine_topk(df, q, k=10).toPandas()["vec_id"])
+    ivf = set(ann_topk_ivf(df, q, k=10, n_lists=8,
                            n_probe=2).toPandas()["vec_id"])
-    lsh = set(ann_topk_lsh(emb, qvec, k=10).toPandas()["vec_id"])
+    lsh = set(ann_topk_lsh(df, q, k=10, n_planes=8,
+                           n_tables=4).toPandas()["vec_id"])
     r_ivf = len(ivf & exact) / 10
     r_lsh = len(lsh & exact) / 10
-    print(f"recall@10 — ivf(nprobe=2/8): {r_ivf}, lsh(8 planes): {r_lsh}")
-    assert r_ivf >= 0.5
+    print(f"planted-cluster recall@10 — ivf(2/8): {r_ivf}, "
+          f"lsh(8 planes, 4 tables): {r_lsh}")
+    assert r_ivf >= 0.9
+    assert r_lsh >= 0.9
