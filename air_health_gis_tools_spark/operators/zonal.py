@@ -172,7 +172,9 @@ def _batch_stats_formula_fast(x: np.ndarray, y: np.ndarray,
 
 def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
                  value_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
-                 mode: str = "canonical") -> dict[str, np.ndarray]:
+                 mode: str = "canonical",
+                 height: int = RASTER_H, width: int = RASTER_W,
+                 xres: int = XRES) -> dict[str, np.ndarray]:
     """Evaluate all buffers for one batch. value_fn returns float64 w/ NaN."""
     offs = {b: buffer_offsets(b, mode) for b in buffers_m}
 
@@ -184,8 +186,8 @@ def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
         out[f"max_{b}"] = np.empty(n)
         out[f"n_valid_{b}"] = np.empty(n, dtype=np.int64)
 
-    r0_all = y.astype(np.int64) // XRES
-    c0_all = x.astype(np.int64) // XRES
+    r0_all = y.astype(np.int64) // xres
+    c0_all = x.astype(np.int64) // xres
     for s0 in range(0, n, _CHUNK):
         s1 = min(s0 + _CHUNK, n)
         r0 = r0_all[s0:s1]
@@ -197,8 +199,8 @@ def _batch_stats(x: np.ndarray, y: np.ndarray, buffers_m: Sequence[int],
             vals = value_fn(rows, cols)
             # clip to raster extent (reference clips the circle at array
             # edges — utils.py:82-84 bounds)
-            oob = ((rows < 0) | (rows >= RASTER_H)
-                   | (cols < 0) | (cols >= RASTER_W))
+            oob = ((rows < 0) | (rows >= height)
+                   | (cols < 0) | (cols >= width))
             if oob.any():
                 vals = np.where(oob, np.nan, vals)
             valid = ~np.isnan(vals)
@@ -219,7 +221,9 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
                    x_col: str = "x", y_col: str = "y",
                    value_fn: Callable | None = None,
                    raster: np.ndarray | None = None,
-                   spark=None, mode: str = "canonical") -> DataFrame:
+                   spark=None, mode: str = "canonical",
+                   height: int | None = None, width: int | None = None,
+                   xres: int = XRES) -> DataFrame:
     """Append per-buffer zonal stats columns (struct-expanded) to ``df``.
 
     ``value_fn(rows, cols) -> float64[NaN]`` defaults to the synthetic
@@ -229,6 +233,15 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
     """
     buffers_m = list(buffers_m)
     schema = _stats_schema(buffers_m)
+
+    # extent defaults: the in-memory raster's own shape, else the
+    # synthetic formula raster's
+    if raster is not None:
+        height = height or raster.shape[0]
+        width = width or raster.shape[1]
+    else:
+        height = height or RASTER_H
+        width = width or RASTER_W
 
     if raster is not None:
         bc = (spark or df.sparkSession).sparkContext.broadcast(raster)
@@ -259,7 +272,7 @@ def buffered_stats(df: DataFrame, buffers_m: Sequence[int],
     @F.pandas_udf(schema)
     def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
         res = _batch_stats(x.to_numpy(), y.to_numpy(), buffers_m, value_fn,
-                           mode)
+                           mode, height=height, width=width, xres=xres)
         return pd.DataFrame(res)
 
     out = df.withColumn("_z", _kernel(F.col(x_col), F.col(y_col)))

@@ -1,0 +1,325 @@
+"""Real GeoTIFF ingestion — pure-NumPy TIFF decoder feeding the tile table.
+
+The reference's whole identity is ``rasterio.open(path).read()[0]`` plus
+transform/nodata capture (extract_raster_buffer.py:150-172;
+Archived_scripts/utils.py:119-135). This sandbox has no GDAL/rasterio, so
+this module implements the subset of TIFF 6.0 the reference fixture
+(``data/apg18e_1_0_0_20210512.tif``) actually uses — little/big-endian
+IFDs, tiled or stripped layout, float32/float64/int sample formats,
+compression none/LZW/Deflate, horizontal-differencing predictor — from the
+public TIFF 6.0 specification. No code is taken from GDAL/libtiff/tifffile;
+the LZW variant (MSB-first codes, Clear=256, EOI=257, 'early change') is
+implemented directly from the spec.
+
+Scale path: ``geotiff_tile_table`` hands each executor task a set of tile
+indices; tasks read ONLY their tiles' byte ranges and decode in-process
+(the COG access pattern — the whole raster never materializes anywhere).
+``read_geotiff`` is the driver-side full decode used as the parity oracle.
+
+Transform: the sidecar ``.tfw`` world file (or the ModelPixelScale +
+ModelTiepoint GeoKeys) gives the affine; ``rowcol_of_xy`` inverts it the
+way ``get_coords_at_point`` does (utils.py:47-67), handling the standard
+north-up negative y-step.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .raster import TILE_SCHEMA, tile_id_of
+
+# TIFF tag ids (TIFF 6.0 spec §8)
+_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
+    279: "strip_counts", 317: "predictor", 322: "tile_w", 323: "tile_h",
+    324: "tile_offsets", 325: "tile_counts", 339: "sample_format",
+    33550: "pixel_scale", 33922: "tiepoint", 42113: "nodata_ascii",
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+@dataclass
+class TiffInfo:
+    path: str
+    byteorder: str
+    width: int
+    height: int
+    bits: int
+    sample_format: int          # 1 uint, 2 int, 3 float
+    compression: int            # 1 none, 5 LZW, 8 deflate
+    predictor: int              # 1 none, 2 horizontal differencing
+    tile_w: int                 # == width for stripped files
+    tile_h: int
+    offsets: np.ndarray
+    counts: np.ndarray
+    tiled: bool
+    nodata: float | None
+    # affine: x = c0 + col*xres ; y = r0 + row*yres (yres < 0 when north-up)
+    transform: tuple[float, float, float, float] | None = None
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def dtype(self) -> np.dtype:
+        kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
+        return np.dtype(f"{self.byteorder}{kind}{self.bits // 8}")
+
+    @property
+    def n_tiles_x(self) -> int:
+        return (self.width + self.tile_w - 1) // self.tile_w
+
+    @property
+    def n_tiles_y(self) -> int:
+        return (self.height + self.tile_h - 1) // self.tile_h
+
+
+def _read_tag_values(f, bo: str, typ: int, cnt: int, raw: bytes):
+    size = _TYPE_SIZE[typ] * cnt
+    if size <= 4:
+        data = raw[:size]
+    else:
+        off = struct.unpack(bo + "I", raw)[0]
+        pos = f.tell()
+        f.seek(off)
+        data = f.read(size)
+        f.seek(pos)
+    if typ == 2:
+        return data.rstrip(b"\x00").decode("ascii", "replace")
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return data
+    return list(struct.unpack(f"{bo}{cnt}{fmt}", data))
+
+
+def read_ifd(path: str) -> TiffInfo:
+    """Parse the first IFD of a classic (non-Big) TIFF."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF file")
+        magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
+        if magic != 42:
+            raise ValueError("BigTIFF not supported (magic != 42)")
+        f.seek(ifd_off)
+        n = struct.unpack(bo + "H", f.read(2))[0]
+        tags: dict = {}
+        for _ in range(n):
+            ent = f.read(12)
+            tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+            name = _TAGS.get(tag)
+            if name:
+                tags[name] = _read_tag_values(f, bo, typ, cnt, ent[8:12])
+
+    tiled = "tile_offsets" in tags
+    if tiled:
+        offsets = np.array(tags["tile_offsets"], dtype=np.int64)
+        counts = np.array(tags["tile_counts"], dtype=np.int64)
+        tile_w, tile_h = int(tags["tile_w"][0]), int(tags["tile_h"][0])
+    else:
+        offsets = np.array(tags["strip_offsets"], dtype=np.int64)
+        counts = np.array(tags["strip_counts"], dtype=np.int64)
+        tile_w = int(tags["width"][0])
+        tile_h = int(tags.get("rows_per_strip", [tags["height"][0]])[0])
+
+    nodata = None
+    if "nodata_ascii" in tags:
+        try:
+            nodata = float(tags["nodata_ascii"])
+        except ValueError:
+            pass
+
+    transform = None
+    tfw = os.path.splitext(path)[0] + ".tfw"
+    if os.path.exists(tfw):
+        with open(tfw) as fh:
+            a, d, b, e, c0, r0 = (float(x) for x in fh.read().split()[:6])
+        # world file order: xres, rot, rot, yres, x_center0, y_center0;
+        # convert pixel-center origin to pixel-EDGE origin (GDAL convention)
+        transform = (c0 - a / 2, a, r0 - e / 2, e)
+    elif "pixel_scale" in tags and "tiepoint" in tags:
+        sx, sy = tags["pixel_scale"][0], tags["pixel_scale"][1]
+        i, j, _, gx, gy, _ = tags["tiepoint"][:6]
+        transform = (gx - i * sx, sx, gy + j * sy, -sy)
+
+    return TiffInfo(
+        path=path, byteorder=bo,
+        width=int(tags["width"][0]), height=int(tags["height"][0]),
+        bits=int(tags["bits"][0]),
+        sample_format=int(tags.get("sample_format", [1])[0]),
+        compression=int(tags.get("compression", [1])[0]),
+        predictor=int(tags.get("predictor", [1])[0]),
+        tile_w=tile_w, tile_h=tile_h, offsets=offsets, counts=counts,
+        tiled=tiled, nodata=nodata, transform=transform)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first variable-width codes starting
+    at 9 bits, ClearCode 256, EOI 257, and the 'early change' off-by-one
+    (code width bumps when the NEXT code would not fit, i.e. at table
+    sizes 511/1023/2047)."""
+    CLEAR, EOI = 256, 257
+    out: list[bytes] = []
+    append = out.append
+    data += b"\x00\x00\x00\x00"              # bit-reader overrun pad
+    nbits = 9
+    bitpos = 0
+    maxbits = (len(data) - 4) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    while bitpos + nbits <= maxbits + nbits:   # EOI usually stops us first
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 4], "big")
+        code = (chunk >> (32 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == CLEAR:
+            table = base.copy()
+            nbits = 9
+            prev = None
+            continue
+        if code == EOI or bitpos > maxbits:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            table.append(prev + entry[:1])
+        append(entry)
+        prev = entry
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return b"".join(out)
+
+
+def _decompress(info: TiffInfo, raw: bytes) -> bytes:
+    if info.compression == 1:
+        return raw
+    if info.compression == 5:
+        return lzw_decode(raw)
+    if info.compression in (8, 32946):
+        return zlib.decompress(raw)
+    raise ValueError(f"unsupported TIFF compression {info.compression}")
+
+
+def decode_block(info: TiffInfo, idx: int, fh=None) -> np.ndarray:
+    """Decode tile/strip ``idx`` to a full (tile_h, tile_w) float64 array
+    with nodata → NaN. Edge blocks keep TIFF's full-tile padding; callers
+    trim with height/width."""
+    own = fh is None
+    if own:
+        fh = open(info.path, "rb")
+    try:
+        fh.seek(int(info.offsets[idx]))
+        raw = fh.read(int(info.counts[idx]))
+    finally:
+        if own:
+            fh.close()
+    buf = _decompress(info, raw)
+    if info.tiled:
+        th, tw = info.tile_h, info.tile_w
+    else:
+        th = min(info.tile_h, info.height - idx * info.tile_h)
+        tw = info.tile_w
+    arr = np.frombuffer(buf, dtype=info.dtype, count=th * tw).reshape(th, tw)
+    if info.predictor == 2:
+        # horizontal differencing over the INTEGER representation
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(info.dtype)
+    out = arr.astype(np.float64)
+    if info.nodata is not None:
+        # compare at the stored precision (float32 nodata round-trips)
+        nod = np.asarray(info.nodata, dtype=info.dtype).astype(np.float64)
+        out[out == nod] = np.nan
+    return out
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, TiffInfo]:
+    """Driver-side full decode (the oracle / broadcast-raster path) —
+    the pure-NumPy stand-in for ``rasterio.open(path).read()[0]`` +
+    nodata→NaN (extract_raster_buffer.py:150-172)."""
+    info = read_ifd(path)
+    full = np.full((info.height, info.width), np.nan)
+    with open(path, "rb") as fh:
+        if info.tiled:
+            ntx = info.n_tiles_x
+            for idx in range(len(info.offsets)):
+                ty, tx = divmod(idx, ntx)
+                r0, c0 = ty * info.tile_h, tx * info.tile_w
+                h = min(info.tile_h, info.height - r0)
+                w = min(info.tile_w, info.width - c0)
+                blk = decode_block(info, idx, fh)
+                full[r0:r0 + h, c0:c0 + w] = blk[:h, :w]
+        else:
+            for idx in range(len(info.offsets)):
+                r0 = idx * info.tile_h
+                h = min(info.tile_h, info.height - r0)
+                blk = decode_block(info, idx, fh)
+                full[r0:r0 + h, :] = blk[:h, :info.width]
+    return full, info
+
+
+def rowcol_of_xy(info: TiffInfo, x: np.ndarray, y: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Containing pixel of world coords under the captured affine —
+    truncation assignment exactly as the reference's
+    ``get_coords_at_point`` (utils.py:47-67); y-step is negative for
+    north-up rasters, handled by the signed division."""
+    x0, xres, y0, yres = info.transform
+    col = np.floor((np.asarray(x, dtype=np.float64) - x0) / xres)
+    row = np.floor((np.asarray(y, dtype=np.float64) - y0) / yres)
+    return row.astype(np.int64), col.astype(np.int64)
+
+
+def geotiff_tile_table(spark: SparkSession, path: str,
+                       n_partitions: int = 32) -> DataFrame:
+    """Distributed GeoTIFF scan → the engine's standard tile table.
+
+    One row per TIFF tile; each executor task seeks to its tiles' byte
+    ranges only (COG access pattern) and decodes with the pure-NumPy
+    LZW/deflate path. 100 TB shape: byte-range reads parallelize across
+    the cluster, the driver ships only the ~100-byte TiffInfo."""
+    info = read_ifd(path)
+    n_blocks = len(info.offsets)
+    ntx = info.n_tiles_x
+    idx_df = spark.range(n_blocks).repartition(
+        min(n_partitions, n_blocks)).select(F.col("id").cast("int"))
+
+    def _decode(batches):
+        fh = open(info.path, "rb")
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                if info.tiled:
+                    ty, tx = divmod(idx, ntx)
+                else:
+                    ty, tx = idx, 0
+                r0, c0 = ty * info.tile_h, tx * info.tile_w
+                h = min(info.tile_h, info.height - r0)
+                w = min(info.tile_w, info.width - c0)
+                blk = decode_block(info, idx, fh)[:h, :w]
+                rows.append((tile_id_of(ty, tx), r0, c0, h, w,
+                             blk.ravel()))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in TILE_SCHEMA])
+        fh.close()
+
+    return idx_df.mapInPandas(_decode, TILE_SCHEMA)
