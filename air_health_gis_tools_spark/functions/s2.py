@@ -126,9 +126,17 @@ def s2_cell_np(lat_deg: np.ndarray, lng_deg: np.ndarray,
     return face_ij_to_cellid(face, i, j, level).astype(np.int64)
 
 
-# planar frame → lat/lng for the synthetic extent (deterministic inverse
-# projection; the real pipeline would use pyproj here — SURVEY.md F1)
-def planar_to_latlng(x: np.ndarray, y: np.ndarray):
+# planar frame → lat/lng (SURVEY.md F1)
+# mode='linear': deterministic affine for the synthetic positive-quadrant
+#   extent (oracle-stable — q30's rows-only check needs reproducibility,
+#   not geodesy).
+# mode='albers': the REAL EPSG:3577 inverse (functions/crs.py implements
+#   the reference's pyproj.Transformer.from_crs("EPSG:3577", …) transform
+#   from the published Snyder equations — no pyproj in this env).
+def planar_to_latlng(x: np.ndarray, y: np.ndarray, mode: str = "linear"):
+    if mode == "albers":
+        from .crs import albers_inverse
+        return albers_inverse(x, y)
     lng = (np.asarray(x, float) - 2_000_000.0) / 100_000.0
     lat = (np.asarray(y, float) - 2_000_000.0) / 100_000.0
     return lat, lng
