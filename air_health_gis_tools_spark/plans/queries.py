@@ -1234,6 +1234,63 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
 
 
 # --------------------------------------------------------------------------
+# q43 A9 ring-sample approximate mean: the reference's
+# extract_mean_from_buffer family (srg-dev/'optmise mean value
+# extraction.ipynb': sample the buffer polygon's exterior-ring vertices at
+# nearest pixels, mean the samples — 64 samples instead of ~317 pixel
+# visits). Vertex offsets are integer literals computed ONCE here (shapely's
+# default 64-segment circle approximation), so both engines evaluate
+# identical integer arithmetic — no cross-engine trig.
+# --------------------------------------------------------------------------
+
+RING_BUFFER_M = 10_000
+RING_K = 64
+
+
+def _ring_offsets() -> list[tuple[int, int]]:
+    ang = 2.0 * np.pi * np.arange(RING_K) / RING_K
+    dx = np.floor(RING_BUFFER_M * np.cos(ang) + 0.5).astype(np.int64)
+    dy = np.floor(RING_BUFFER_M * np.sin(ang) + 0.5).astype(np.int64)
+    return [(int(a), int(b)) for a, b in zip(dx, dy)]
+
+
+def _ring_cte(dialect: str) -> str:
+    vals = ",".join(f"({dx},{dy})" for dx, dy in _ring_offsets())
+    if dialect == "duckdb":
+        return f"offs(dx, dy) AS (VALUES {vals})"
+    return f"offs AS (SELECT * FROM (VALUES {vals}) AS t(dx, dy))"
+
+
+def _ring_query_sql(dialect: str, pts_cte: str) -> str:
+    row, col = G.pixel_of_point_sql("(p.x + o.dx)", "(p.y + o.dy)",
+                                    dialect, "nearest")
+    v = G.raster_value_sql(row, col)
+    return f"""
+WITH pts AS ({pts_cte}),
+{_ring_cte(dialect)}
+SELECT p.doc_id,
+       sum({v}) / count({v}) AS ring_mean,
+       count({v}) AS n_ring_valid
+FROM pts p CROSS JOIN offs o
+GROUP BY p.doc_id
+"""
+
+
+def q43_ring_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: relational form — broadcast the 64-vertex offset dim, exact
+    nearest-pixel sample, nan-skipping mean via count of non-NULLs. One
+    map-side-combined groupBy; the offsets dim never shuffles."""
+    docs_xy(spark, sf_dir).createOrReplaceTempView("_ring_pts")
+    sql = _ring_query_sql(
+        "spark", "SELECT doc_id, x, y FROM _ring_pts")
+    return spark.sql(sql)
+
+
+def q43_sql() -> str:
+    return _ring_query_sql("duckdb", _pts_cte("duckdb"))
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
 
@@ -1338,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_simhash_pairs": q40_simhash_pairs,
     "q41_ann_ivf": q41_ann_ivf,
     "q42_convolve_all_gather": q42_convolve_all_gather,
+    "q43_ring_sample_mean": q43_ring_sample_mean,
 }
 
 ORACLES: dict[str, str] = {
@@ -1377,4 +1435,5 @@ ORACLES: dict[str, str] = {
     "q39_simhash_md5": q39_sql(),
     "q40_simhash_pairs": q40_sql(),
     "q42_convolve_all_gather": q42_sql(),
+    "q43_ring_sample_mean": q43_sql(),
 }
