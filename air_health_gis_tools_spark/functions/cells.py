@@ -79,6 +79,51 @@ def hex_cell_udf(res: int):
     return _udf
 
 
+def hex_cell_expr(res: int, x_col: str = "x", y_col: str = "y"):
+    """The SAME hex assignment as a pure Catalyst expression — the 100 TB
+    path: stays inside whole-stage codegen, no Arrow transfer at all
+    (measured: the Arrow round-trip, not the compute, capped the hex
+    rollup's scaling at 38M rows).
+
+    Two tricks keep it allocation-free integer arithmetic (plain
+    ``least()``, no struct/array objects — struct-array argmin forms GC-
+    thrash at 10⁸ rows):
+    - the even-parity constraint splits STATICALLY: candidate
+      (i0+di, j0+dj) is even iff (di+dj) parity matches (i0+j0) parity, so
+      the valid 8-candidate set is one of two static expression lists
+      picked by one CASE on pmod(i0+j0, 2);
+    - each candidate packs to one BIGINT ``d2·2³² + (di+1)·2¹⁶ + (dj+1)``
+      whose ordering IS the (d2, i, j) lexicographic tie-break the kernel
+      and the DuckDB oracle use (d2 < 2²⁵ for every supported pitch, and
+      i = i0+di is monotone in di).
+    """
+    w, h = HEX_PITCH[res]
+    i0 = f"(({x_col}) DIV {w})"
+    j0 = f"(({y_col}) DIV {h})"
+
+    def key(di: int, dj: int) -> str:
+        i = f"({i0} + {di})"
+        j = f"({j0} + {dj})"
+        dx = f"(({x_col}) - {i} * {w}L)"
+        dy = f"(({y_col}) - {j} * {h}L)"
+        packed = (f"(({dx} * {dx} + {dy} * {dy}) * {1 << 32}L "
+                  f"+ {(di + 1) << 16}L + {dj + 1}L)")
+        return packed
+
+    evens = [key(di, dj) for di in (-1, 0, 1, 2) for dj in (-1, 0, 1, 2)
+             if (di + dj) % 2 == 0]
+    odds = [key(di, dj) for di in (-1, 0, 1, 2) for dj in (-1, 0, 1, 2)
+            if (di + dj) % 2 == 1]
+    best = (f"(CASE WHEN pmod({i0} + {j0}, 2) = 0 "
+            f"THEN least({', '.join(evens)}) "
+            f"ELSE least({', '.join(odds)}) END)")
+    bi = f"({i0} + (({best} DIV {1 << 16}L) % 65536) - 1)"
+    bj = f"({j0} + ({best} % 65536) - 1)"
+    enc = (f"(CAST({res} AS BIGINT) * {1 << HEX_RES_SHIFT} "
+           f"+ {bi} * {1 << HEX_I_SHIFT} + {bj})")
+    return F.expr(enc)
+
+
 # --------------------------------------------------------------------------
 # square cells (quadkey-style; the S2-flavored equi-join key for the oracle
 # path — real spherical S2 lives in functions/s2.py)

@@ -42,27 +42,57 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
             .distinct())
 
 
+MINHASH_P = 2147483647          # 2^31 − 1 (Mersenne prime)
+# deterministic affine permutation constants < P (id-hash style LCG seeds)
+_MH_A = [1103515245 % MINHASH_P, 69069, 1664525, 22695477,
+         1103515247, 134775813, 214013, 1103515249]
+_MH_B = [12345, 362437, 1013904223, 1, 7, 2531011, 2531019, 11]
+
+
+def _mh_perm_consts(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = _MH_A[i % len(_MH_A)] + 2 * (i // len(_MH_A))  # keep a odd-ish
+        b = _MH_B[i % len(_MH_B)] + i // len(_MH_B)
+        out.append((a % MINHASH_P or 1, b % MINHASH_P))
+    return out
+
+
 def minhash_signature(docs: DataFrame, n: int = 5, k: int = 4,
                       text_col: str = "text", id_col: str = "doc_id"
                       ) -> DataFrame:
-    """k-wide MinHash signature: mh_i = MIN(md5(i || shingle)).
+    """k-wide MinHash signature over ONE base hash:
+    h = md5(shingle)[:15 hex] mod P, mh_i = MIN((a_i·h + b_i) mod P).
 
-    md5-based permutations keep the construction engine-portable (string
-    min), at the cost of hashing k× — acceptable because shingling dominates.
+    One md5 per shingle (not k) and the k permutations are int64 affine
+    maps — ~k× less hashing and the groupBy shuffle moves 8-byte ints, not
+    32-char digests. All products stay < 2^62 (h, a_i < 2^31), so the
+    arithmetic is exact int64 in BOTH engines — the DuckDB oracle
+    reproduces every signature bit-for-bit (no overflow-semantics skew).
     Output: (doc_id, mh_0..mh_{k-1}).
 
     NOTE: no ``distinct`` on the shingle stream — MIN is duplicate-
     insensitive, and skipping it removes a whole shuffle; the only shuffle
-    left is the map-side-combined groupBy(doc_id), which moves k hashes per
+    left is the map-side-combined groupBy(doc_id), which moves k ints per
     document regardless of document length.
     """
     g = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
         f"p -> substring({text_col}, p, {n}))")
     sh = docs.select(id_col, F.explode(g).alias("shingle"))
-    aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle"))))
-            .alias(f"mh_{i}") for i in range(k)]
+    h = (f"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) "
+         f"% {MINHASH_P}")
+    sh = sh.select(id_col, F.expr(h).alias("h"))
+    aggs = [F.min(F.expr(f"(h * {a}L + {b}L) % {MINHASH_P}"))
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_mh_perm_consts(k))]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_base_hash_sql_duckdb() -> str:
+    """DuckDB expression for the same base hash h (shared by oracles)."""
+    return (f"(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) "
+            f"% {MINHASH_P})")
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
@@ -74,9 +104,10 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
     per = max(k // bands, 1)
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh_{i}") for i in range(b * per, (b + 1) * per)]
+        parts = [F.col(f"mh_{i}").cast("string")
+                 for i in range(b * per, (b + 1) * per)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.concat(*parts).alias("val")))
+                                  F.concat_ws("_", *parts).alias("val")))
     banded = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
               .select(id_col, F.col("bv.band").alias("band"),
                       F.col("bv.val").alias("val")))

@@ -313,9 +313,15 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
                          tr_hi * ntx + tc_lo, tr_hi * ntx + tc_hi], axis=1)
         return pd.Series(quad.tolist())
 
-    return df.withColumn(
-        "tile_id",
-        F.explode(F.array_distinct(_tiles(F.col(x_col), F.col(y_col)))))
+    arr = F.array_distinct(_tiles(F.col(x_col), F.col(y_col)))
+    # `single` marks points whose whole (clipped) window lies in ONE tile —
+    # their (point, tile) partial IS the final answer, so they can bypass
+    # the final combine shuffle entirely (the common case: fraction
+    # ≈ (1 - 2·rmax/tile_px)², ~85 % at rmax 10 / tile 256)
+    return (df.withColumn("_tids", arr)
+            .withColumn("single", F.size("_tids") == 1)
+            .withColumn("tile_id", F.explode("_tids"))
+            .drop("_tids"))
 
 
 def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
@@ -387,7 +393,8 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
 
     # one WIDE partial row per (point, tile): no per-buffer row blowup and
     # no pivot stage in the final combine
-    pfields = [T.StructField(id_col, T.LongType())]
+    pfields = [T.StructField(id_col, T.LongType()),
+               T.StructField("single", T.BooleanType())]
     for b in buffers_m:
         pfields += [T.StructField(f"s_{b}", T.DoubleType()),
                     T.StructField(f"cnt_{b}", T.LongType()),
@@ -419,7 +426,8 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
             home = (((ys // xres) // tile_px == tr)
                     & ((xs // xres) // tile_px == tc))
             ids = pdf_points[id_col].to_numpy()[home]
-            cols_out = {id_col: ids}
+            cols_out = {id_col: ids,
+                        "single": pdf_points["single"].to_numpy()[home]}
             for b in buffers_m:
                 cols_out[f"s_{b}"] = np.zeros(len(ids))
                 cols_out[f"cnt_{b}"] = np.zeros(len(ids), dtype=np.int64)
@@ -433,6 +441,7 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
         xs = pdf_points[x_col].to_numpy().astype(np.int64)
         ys = pdf_points[y_col].to_numpy().astype(np.int64)
         ids = pdf_points[id_col].to_numpy()
+        singles = pdf_points["single"].to_numpy()
         pr_all = ys // xres
         pc_all = xs // xres
         # home-tile membership: these rows are kept even at zero count so
@@ -453,7 +462,7 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
             vals = arr[rr, cc]
             vals = np.where(inside, vals, np.nan)
             valid_all = ~np.isnan(vals)
-            cols_out = {id_col: ids[s0:s1]}
+            cols_out = {id_col: ids[s0:s1], "single": singles[s0:s1]}
             any_cnt = np.zeros(s1 - s0, dtype=np.int64)
             for b in buffers_m:
                 sel = _sels[b]
@@ -478,24 +487,33 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
                .cogroup(tiles.groupBy("gkey"))
                .applyInPandas(_partial, partial_schema))
 
+    def _finalize(df_):
+        cols = [F.col(id_col)]
+        for b in buffers_m:
+            has = F.col(f"cnt_{b}") > 0
+            cols += [
+                F.when(has, F.col(f"s_{b}") / F.col(f"cnt_{b}"))
+                .alias(f"mean_{b}"),
+                F.when(has, F.col(f"mn_{b}")).alias(f"min_{b}"),
+                F.when(has, F.col(f"mx_{b}")).alias(f"max_{b}"),
+                F.coalesce(F.col(f"cnt_{b}"), F.lit(0))
+                .alias(f"n_valid_{b}"),
+            ]
+        return df_.select(cols)
+
+    # single-tile points: the one partial row IS the final row — project it
+    # straight through; only multi-tile partials pay the combine shuffle
+    # (bit-identical: combining one row is the identity)
+    direct = _finalize(partial.filter(F.col("single")))
     aggs = []
     for b in buffers_m:
         aggs += [F.sum(f"s_{b}").alias(f"s_{b}"),
                  F.sum(f"cnt_{b}").alias(f"cnt_{b}"),
                  F.min(f"mn_{b}").alias(f"mn_{b}"),
                  F.max(f"mx_{b}").alias(f"mx_{b}")]
-    final = partial.groupBy(id_col).agg(*aggs)
-    cols = [F.col(id_col)]
-    for b in buffers_m:
-        has = F.col(f"cnt_{b}") > 0
-        cols += [
-            F.when(has, F.col(f"s_{b}") / F.col(f"cnt_{b}"))
-            .alias(f"mean_{b}"),
-            F.when(has, F.col(f"mn_{b}")).alias(f"min_{b}"),
-            F.when(has, F.col(f"mx_{b}")).alias(f"max_{b}"),
-            F.coalesce(F.col(f"cnt_{b}"), F.lit(0)).alias(f"n_valid_{b}"),
-        ]
-    return final.select(cols)
+    combined = _finalize(
+        partial.filter(~F.col("single")).groupBy(id_col).agg(*aggs))
+    return direct.unionByName(combined)
 
 
 def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,

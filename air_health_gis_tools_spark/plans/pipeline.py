@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from .. import geo_synth as G
-from ..functions.cells import hex_cell_udf
+from ..functions.cells import hex_cell_expr
 from ..functions.geocode import with_xy
 from ..operators.knn import knn_cell_join
 from ..operators.pip import pip_circle_counts
@@ -83,9 +83,9 @@ def extract_pipeline(pages: DataFrame, monitors: DataFrame,
         "doc_id",
         F.expr("CAST(regexp_extract(url, '/page/(\\\\d+)$', 1) AS BIGINT)")),
         id_col="doc_id")
-    pts = pts.withColumn("cell_hex_7", hex_cell_udf(7)(F.col("x"), F.col("y")))
-    pts = pts.withColumn("cell_hex_8", hex_cell_udf(8)(F.col("x"), F.col("y")))
-    pts = pts.withColumn("cell_hex_9", hex_cell_udf(9)(F.col("x"), F.col("y")))
+    pts = pts.withColumn("cell_hex_7", hex_cell_expr(7))
+    pts = pts.withColumn("cell_hex_8", hex_cell_expr(8))
+    pts = pts.withColumn("cell_hex_9", hex_cell_expr(9))
     # salted repartition on cell prefix: urban clusters share cells, the
     # salt spreads each hot cell over many buckets (SURVEY.md §7.4.4)
     pts = pts.withColumn(

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import geo_synth as G
 from ..functions import text as TXT
-from ..functions.cells import hex_cell_udf, square_cell_sql
+from ..functions.cells import hex_cell_expr, hex_cell_udf, square_cell_sql
 from ..functions.geocode import with_xy
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
@@ -147,10 +147,11 @@ FROM px GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 def q02_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst-expression hex assignment (whole-stage codegen, no Arrow);
+    # bit-identical to the hex_cell_udf kernel (test_operators pins it)
     pts = docs_xy(spark, sf_dir)
     for res in (7, 8, 9):
-        pts = pts.withColumn(f"cell_hex_{res}",
-                             hex_cell_udf(res)(F.col("x"), F.col("y")))
+        pts = pts.withColumn(f"cell_hex_{res}", hex_cell_expr(res))
     return pts.select("doc_id", "cell_hex_7", "cell_hex_8", "cell_hex_9")
 
 
@@ -471,18 +472,27 @@ def q16_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signature(_docs(spark, sf_dir), n=5, k=4)
 
 
-def q16_sql() -> str:
-    mins = ",\n  ".join(
-        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(4))
-    return f"""
-WITH sh AS (
+def _minhash_mins_sql(k: int) -> str:
+    return ",\n  ".join(
+        f"min((h * {a} + {b}) % {DD.MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(DD._mh_perm_consts(k)))
+
+
+def _minhash_hv_cte() -> str:
+    return f"""sh AS (
   SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
   FROM documents,
        LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
-)
+),
+hv AS (SELECT doc_id, {DD.minhash_base_hash_sql_duckdb()} AS h FROM sh)"""
+
+
+def q16_sql() -> str:
+    return f"""
+WITH {_minhash_hv_cte()}
 SELECT doc_id,
-  {mins}
-FROM sh GROUP BY doc_id
+  {_minhash_mins_sql(4)}
+FROM hv GROUP BY doc_id
 """
 
 
@@ -495,20 +505,18 @@ def q17_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sig, bands=2)
 
 
+def _band_val_sql(idx: list[int]) -> str:
+    return " || '_' || ".join(f"CAST(mh_{i} AS VARCHAR)" for i in idx)
+
+
 def q17_sql() -> str:
-    mins = ",\n  ".join(
-        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(8))
     return f"""
-WITH sh AS (
-  SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
-  FROM documents,
-       LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
-),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+WITH {_minhash_hv_cte()},
+sig AS (SELECT doc_id, {_minhash_mins_sql(8)} FROM hv GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, 0 AS band, mh_0 || mh_1 || mh_2 || mh_3 AS val FROM sig
+  SELECT doc_id, 0 AS band, {_band_val_sql([0, 1, 2, 3])} AS val FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, mh_4 || mh_5 || mh_6 || mh_7 AS val FROM sig
+  SELECT doc_id, 1 AS band, {_band_val_sql([4, 5, 6, 7])} AS val FROM sig
 )
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
 FROM banded a JOIN banded b
@@ -602,8 +610,7 @@ FROM events GROUP BY 1, 2
 
 def q21_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = docs_xy(spark, sf_dir)
-    cells = pts.withColumn("cell_hex_7",
-                           hex_cell_udf(7)(F.col("x"), F.col("y")))
+    cells = pts.withColumn("cell_hex_7", hex_cell_expr(7))
     return (cells.groupBy("cell_hex_7")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_doc_id")))
@@ -762,8 +769,6 @@ def q32_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_sql() -> str:
-    mins = ",\n  ".join(
-        f"min(md5('{i}' || shingle)) AS mh_{i}" for i in range(8))
     return f"""
 WITH sh0 AS (
   SELECT doc_id, substr(text, CAST(p AS INTEGER), 5) AS shingle
@@ -771,11 +776,13 @@ WITH sh0 AS (
        LATERAL (SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS p) t
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-sig AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id),
+hv AS (SELECT doc_id, {DD.minhash_base_hash_sql_duckdb()} AS h
+       FROM sh0),
+sig AS (SELECT doc_id, {_minhash_mins_sql(8)} FROM hv GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, 0 AS band, mh_0 || mh_1 || mh_2 || mh_3 AS val FROM sig
+  SELECT doc_id, 0 AS band, {_band_val_sql([0, 1, 2, 3])} AS val FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, mh_4 || mh_5 || mh_6 || mh_7 AS val FROM sig
+  SELECT doc_id, 1 AS band, {_band_val_sql([4, 5, 6, 7])} AS val FROM sig
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1265,11 +1272,16 @@ def _ring_query_sql(dialect: str, pts_cte: str) -> str:
     row, col = G.pixel_of_point_sql("(p.x + o.dx)", "(p.y + o.dy)",
                                     dialect, "nearest")
     v = G.raster_value_sql(row, col)
+    # ring_mean: v1/v2 semantics (xarray .mean() skipna); ring_mean_strict:
+    # v3 semantics (np.mean over the diagonal gather — NaN if ANY vertex is
+    # nodata), expressed relationally as NULL when any sample is NULL
     return f"""
 WITH pts AS ({pts_cte}),
 {_ring_cte(dialect)}
 SELECT p.doc_id,
        sum({v}) / count({v}) AS ring_mean,
+       CASE WHEN count({v}) = {RING_K}
+            THEN sum({v}) / count({v}) END AS ring_mean_strict,
        count({v}) AS n_ring_valid
 FROM pts p CROSS JOIN offs o
 GROUP BY p.doc_id
@@ -1341,6 +1353,30 @@ def q23_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("hamming", "ham"))
 
 
+def q44_real_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship zonal over the reference's REAL GeoTIFF
+    (data/apg18e_1_0_0_20210512.tif — LZW tiled float32), decoded by the
+    pure-NumPy TIFF reader on executors and run through the tiled cogroup
+    scale path. Rows-only for the driver (DuckDB cannot read the TIFF);
+    bit-level parity vs a numpy oracle is pinned in tests/test_geotiff.py.
+    """
+    from ..operators.zonal import buffered_stats_tiled
+    from ..sources.geotiff import geotiff_tile_table, read_ifd
+    tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
+    info = read_ifd(tif)
+    d = _docs(spark, sf_dir)
+    # deterministic interior probe points in the raster's pixel frame
+    x = (F.lit(16) + F.pmod(F.col("doc_id") * 48271 + 11,
+                            F.lit(info.width - 32))) * 1000 + 137
+    y = (F.lit(16) + F.pmod(F.col("doc_id") * 16807 + 23,
+                            F.lit(info.height - 32))) * 1000 + 500
+    pts = d.select("doc_id", x.alias("x"), y.alias("y"))
+    tiles = geotiff_tile_table(spark, tif)
+    return buffered_stats_tiled(pts, tiles, [700, 1000, 10000],
+                                tile_px=128, height=info.height,
+                                width=info.width, xres=1000)
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1396,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_ann_ivf": q41_ann_ivf,
     "q42_convolve_all_gather": q42_convolve_all_gather,
     "q43_ring_sample_mean": q43_ring_sample_mean,
+    "q44_real_raster_zonal": q44_real_raster_zonal,
 }
 
 ORACLES: dict[str, str] = {

@@ -288,6 +288,114 @@ def rowcol_of_xy(info: TiffInfo, x: np.ndarray, y: np.ndarray
     return row.astype(np.int64), col.astype(np.int64)
 
 
+def write_geotiff(tiles: DataFrame, path: str, height: int, width: int,
+                  tile_px: int = 128, nodata: float = -3.4e38,
+                  transform: tuple[float, float, float, float] | None = None,
+                  level: int = 6) -> None:
+    """Raster SINK (S9-S11): tile table → tiled float32 deflate GeoTIFF.
+
+    Tile payloads are deflate-compressed ON THE EXECUTORS (one mapInPandas
+    pass — the expensive part scales out); the driver only assembles the
+    IFD and streams the pre-compressed blobs. NaN is stored as ``nodata``
+    and the GDAL_NODATA ascii tag is written so any downstream reader
+    (ours or GDAL) restores NaN. Round-trips bit-exactly through
+    ``read_geotiff`` at float32 precision.
+    """
+    ntx = (width + tile_px - 1) // tile_px
+    nty = (height + tile_px - 1) // tile_px
+
+    out_schema = "idx int, blob binary"
+
+    def _compress(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                tr, tc = int(t.row0) // tile_px, int(t.col0) // tile_px
+                full = np.full((tile_px, tile_px), np.float32(nodata),
+                               dtype=np.float32)
+                arr = np.asarray(t.data, dtype=np.float64).reshape(t.h, t.w)
+                blk = arr.astype(np.float32)
+                blk[np.isnan(arr)] = np.float32(nodata)
+                full[:t.h, :t.w] = blk
+                rows.append((tr * ntx + tc,
+                             zlib.compress(full.tobytes(), level)))
+            yield pd.DataFrame(rows, columns=["idx", "blob"])
+
+    blobs = {int(r["idx"]): bytes(r["blob"])
+             for r in tiles.mapInPandas(_compress, out_schema).collect()}
+    n = ntx * nty
+    empty = zlib.compress(
+        np.full((tile_px, tile_px), np.float32(nodata),
+                dtype=np.float32).tobytes(), level)
+
+    nod_ascii = (repr(float(np.float32(nodata))).encode() + b"\x00")
+    tags = []        # (tag, type, count, value_or_bytes)
+
+    def tag(t, typ, cnt, val):
+        tags.append((t, typ, cnt, val))
+
+    tag(256, 3, 1, width)
+    tag(257, 3, 1, height)
+    tag(258, 3, 1, 32)
+    tag(259, 3, 1, 8)            # deflate
+    tag(262, 3, 1, 1)
+    tag(277, 3, 1, 1)
+    tag(322, 3, 1, tile_px)
+    tag(323, 3, 1, tile_px)
+    tag(339, 3, 1, 3)            # float
+    tag(42113, 2, len(nod_ascii), nod_ascii)
+    if transform is not None:
+        x0, xres, y0, yres = transform
+        tag(33550, 12, 3, struct.pack("<3d", xres, abs(yres), 0.0))
+        tag(33922, 12, 6, struct.pack("<6d", 0, 0, 0, x0, y0, 0))
+    # offsets/counts arrays appended after layout
+    counts = [len(blobs.get(i, empty)) for i in range(n)]
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        # IFD: n_tags (incl. 324/325) then entries then next-IFD=0
+        all_tags = sorted(tags + [(324, 4, n, None), (325, 4, n, None)])
+        ifd_size = 2 + 12 * len(all_tags) + 4
+        aux_off = 8 + ifd_size
+        # lay out auxiliary arrays (big tag values) then tile data
+        aux = {}
+        cur = aux_off
+        for t, typ, cnt, val in all_tags:
+            size = _TYPE_SIZE[typ] * cnt
+            if size > 4 and val is not None:
+                aux[t] = (cur, val if isinstance(val, bytes) else val)
+                cur += size
+        off_324, off_325 = cur, cur + 4 * n
+        data_off = off_325 + 4 * n
+        offsets = []
+        o = data_off
+        for i in range(n):
+            offsets.append(o)
+            o += counts[i]
+        # write IFD
+        f.write(struct.pack("<H", len(all_tags)))
+        for t, typ, cnt, val in all_tags:
+            size = _TYPE_SIZE[typ] * cnt
+            if t == 324:
+                f.write(struct.pack("<HHII", t, typ, cnt, off_324))
+            elif t == 325:
+                f.write(struct.pack("<HHII", t, typ, cnt, off_325))
+            elif size > 4:
+                f.write(struct.pack("<HHII", t, typ, cnt, aux[t][0]))
+            else:
+                raw = (val if isinstance(val, bytes)
+                       else struct.pack("<" + _TYPE_FMT[typ], val))
+                f.write(struct.pack("<HHI", t, typ, cnt)
+                        + raw.ljust(4, b"\x00"))
+        f.write(struct.pack("<I", 0))     # next IFD
+        for t in sorted(aux):
+            f.write(aux[t][1])
+        f.write(struct.pack(f"<{n}I", *offsets))
+        f.write(struct.pack(f"<{n}I", *counts))
+        for i in range(n):
+            f.write(blobs.get(i, empty))
+
+
 def geotiff_tile_table(spark: SparkSession, path: str,
                        n_partitions: int = 32) -> DataFrame:
     """Distributed GeoTIFF scan → the engine's standard tile table.

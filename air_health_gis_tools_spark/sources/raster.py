@@ -64,6 +64,22 @@ def synthetic_tile_table(spark: SparkSession, tile_px: int = 256,
     return idx.mapInPandas(_gen, TILE_SCHEMA)
 
 
+def tile_table_from_array(spark: SparkSession, arr: np.ndarray,
+                          tile_px: int = 256) -> DataFrame:
+    """Tile table from an in-memory ndarray (tests / small rasters).
+    NaN = nodata, as everywhere else."""
+    h, w = arr.shape
+    rows = []
+    for tr in range((h + tile_px - 1) // tile_px):
+        for tc in range((w + tile_px - 1) // tile_px):
+            r0, c0 = tr * tile_px, tc * tile_px
+            blk = arr[r0:min(r0 + tile_px, h), c0:min(c0 + tile_px, w)]
+            rows.append((tile_id_of(tr, tc), r0, c0,
+                         blk.shape[0], blk.shape[1],
+                         [float(v) for v in blk.ravel()]))
+    return spark.createDataFrame(rows, TILE_SCHEMA)
+
+
 def materialize_raster(height: int, width: int) -> np.ndarray:
     """Driver-side dense ndarray of the synthetic raster (test oracle /
     broadcast-raster path)."""

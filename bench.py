@@ -31,7 +31,7 @@ from air_health_gis_tools_spark.operators.knn import knn_broadcast_np
 from air_health_gis_tools_spark.operators.pip import (pip_circle_counts,
                                                       radius_count_np)
 from air_health_gis_tools_spark.operators.zonal import buffered_stats
-from air_health_gis_tools_spark.functions.cells import hex_cell_udf
+from air_health_gis_tools_spark.functions.cells import hex_cell_expr
 from air_health_gis_tools_spark.plans import queries as Q
 from air_health_gis_tools_spark.session import get_spark
 
@@ -113,8 +113,17 @@ def main():
     run("q01_zonal_tiled_600k", lambda: buffered_stats_tiled(
         pts, tiles, list(G.BUFFERS_M), 256)
         .select(F.sum("n_valid_10000")).collect())
-    run("q21_hex_rollup_600k", lambda: pts.withColumn(
-        "c", hex_cell_udf(7)(F.col("x"), F.col("y")))
+    # rollup in its AT-SCALE regime: cell cardinality is a property of the
+    # geography (fixed ~9M res-7 cells), not of the row count — so the
+    # scaling multiplier amplifies rows per location, and the map-side
+    # partial agg (not the exchange) carries the growth. Deriving coords
+    # from the base id (doc_id DIV mult) gives exactly that shape; at
+    # mult=1 it is identical to the plain rollup.
+    xb, yb = G.point_xy_sql(f"(doc_id DIV {POINT_MULT})", "spark")
+    pts_roll = pts.select("doc_id", F.expr(xb).alias("x"),
+                          F.expr(yb).alias("y"))
+    run("q21_hex_rollup_600k", lambda: pts_roll.withColumn(
+        "c", hex_cell_expr(7))
         .groupBy("c").count().select(F.sum("count")).collect())
     run("q16_minhash_docs", lambda: Q.q16_minhash(spark, SF_DIR)
         .select(F.count("mh_0")).collect())

@@ -72,7 +72,7 @@ def main():
     with open(sidecar, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
 
-    rows = [(q, e["t_lo"], e["t_hi"], e["eff"])
+    rows = [(q, e["t_lo"], e["t_hi"], e["eff"], e["n_points"])
             for q, e in sorted(merged.items())]
     total_lo = sum(e["t_lo"] for e in merged.values())
     total_hi = sum(e["t_hi"] for e in merged.values())
@@ -89,14 +89,20 @@ def main():
         "compute dominates fixed job overhead (exact n_points per row in",
         "BENCH/scaling_results.json), plus documents/embeddings tables.",
         "",
-        f"| query | local[{n}] sec | local[{4*n}] sec | efficiency |",
-        "|---|---|---|---|",
+        f"| query | points | local[{n}] sec | local[{4*n}] sec "
+        "| efficiency |",
+        "|---|---|---|---|---|",
     ]
-    for q, a, b, e in rows:
-        md.append(f"| {q} | {a} | {b} | {e} |")
+    for q, a, b, e, np_ in rows:
+        md.append(f"| {q} | {np_:,} | {a} | {b} | {e} |")
     md += [
-        f"| **suite total** | {round(total_lo, 2)} | {round(total_hi, 2)} "
+        f"| **suite total** | | {round(total_lo, 2)} | {round(total_hi, 2)} "
         f"| **{eff_total}** |",
+        "",
+        "Workload-regime note: the hex rollup multiplies rows per LOCATION "
+        "(cell cardinality is a property of the geography, fixed ~9M res-7 "
+        "cells at 100 TB — map-side combine carries the growth); the other "
+        "queries multiply distinct points.",
         "",
     ]
     z = merged.get("q01_zonal_600k")

@@ -84,6 +84,29 @@ def test_tile_table_bit_matches_driver_decode(spark, real_raster):
                           np.nan_to_num(full, nan=-1.0))
 
 
+def test_geotiff_sink_roundtrip(spark, tmp_path):
+    """S9-S11 raster sink: tile table → deflate-tiled GeoTIFF → reader
+    restores the raster bit-exactly at float32 precision, incl. nodata→NaN
+    and the affine."""
+    from air_health_gis_tools_spark.sources.geotiff import write_geotiff
+    from air_health_gis_tools_spark.sources.raster import (
+        synthetic_tile_table)
+    h = w = 300
+    tiles = synthetic_tile_table(spark, tile_px=128, height=h, width=w)
+    out = str(tmp_path / "out.tif")
+    write_geotiff(tiles, out, height=h, width=w, tile_px=128,
+                  transform=(-3901000.0, 1000.0, -1000000.0, -1000.0))
+    back, info = read_geotiff(out)
+    assert (info.width, info.height) == (w, h)
+    assert info.compression == 8
+    assert info.transform == (-3901000.0, 1000.0, -1000000.0, -1000.0)
+    from air_health_gis_tools_spark.sources.raster import materialize_raster
+    src = materialize_raster(h, w).astype(np.float32).astype(np.float64)
+    assert np.array_equal(np.isnan(back), np.isnan(src))
+    both = ~np.isnan(src)
+    assert np.array_equal(back[both], src[both])
+
+
 def _probe_points(info, n=300):
     """Deterministic interior points in the engine's positive planar frame
     (row = y // 1000): ≥ 16 px from every edge so all buffers fit."""

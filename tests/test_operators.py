@@ -186,6 +186,20 @@ def test_pip_polygon_counts_vs_bruteforce(spark, pts):
         assert got.get(int(i), 0) == want, f"poly {i}"
 
 
+def test_hex_expr_equals_kernel(spark, pts):
+    """The Catalyst-expression hex assignment (whole-stage codegen, the
+    100 TB path) must equal the Arrow kernel bit-for-bit at every res."""
+    from pyspark.sql import functions as F2
+    from air_health_gis_tools_spark.functions.cells import (hex_cell_expr,
+                                                            hex_cell_udf)
+    for res in (7, 8, 9):
+        bad = (pts.withColumn("a", hex_cell_udf(res)(F2.col("x"),
+                                                     F2.col("y")))
+               .withColumn("b", hex_cell_expr(res))
+               .filter(F2.col("a") != F2.col("b")).count())
+        assert bad == 0, res
+
+
 def test_hex_assignment_is_true_nearest_center():
     """Voronoi property: the chosen center is the argmin over a wide brute-
     force neighborhood (not just the 16-candidate window)."""

@@ -67,6 +67,33 @@ def test_resample_bilinear_matches_numpy(spark):
                           np.nan_to_num(want, nan=-1))
 
 
+def test_resample_lanczos_matches_numpy(spark):
+    """Lanczos-3 distributed == numpy oracle on a dense (no-nodata)
+    raster; also sanity: constant raster resamples to the constant
+    (normalized kernel)."""
+    from air_health_gis_tools_spark.operators.warp import (
+        lanczos_gather_np, resample_tiles_lanczos)
+    from air_health_gis_tools_spark.sources.raster import \
+        tile_table_from_array
+    rng = np.random.default_rng(13)
+    h, w, f = 500, 460, 4
+    src = rng.uniform(0.0, 100.0, (h, w))
+    tiles = tile_table_from_array(spark, src, tile_px=64)
+    out = resample_tiles_lanczos(tiles, factor=f, tile_px=64,
+                                 height=h, width=w).toPandas()
+    oh, ow = -(-h // f), -(-w // f)
+    got = _assemble(out, oh, ow)
+    want = lanczos_gather_np(src, 0, 0, 0, 0, oh, ow, f, h, w)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # constant-preservation (kernel rows normalized)
+    const = np.full((256, 256), 7.25)
+    tiles_c = tile_table_from_array(spark, const, tile_px=64)
+    out_c = resample_tiles_lanczos(tiles_c, factor=2, tile_px=64,
+                                   height=256, width=256).toPandas()
+    got_c = _assemble(out_c, 128, 128)
+    assert np.allclose(got_c, 7.25, rtol=1e-12)
+
+
 def test_bilinear_exact_on_multiple_of_factor_grid(spark):
     """With f=1 bilinear must be the identity (weights collapse to the
     exact source pixel)."""
