@@ -210,6 +210,57 @@ def lzw_decode(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (spec §13) — the inverse of ``lzw_decode``,
+    used by the property tests to harden the decoder (decode∘encode == id
+    on arbitrary byte strings) and available to the GeoTIFF sink.
+    MSB-first variable-width codes, Clear=256, EOI=257, early change."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int, nbits: int):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    put(CLEAR, nbits)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # width bump aligned to the decoder (which is validated against
+        # GDAL-written files): the decoder widens one code AFTER its table
+        # hits (1<<nbits)-1, and its table lags the encoder's by one entry
+        # — net: the encoder widens when next_code reaches 1<<nbits
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        elif next_code == (1 << 12) - 2:
+            put(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([ch])
+    if w:
+        put(table[w], nbits)
+    put(EOI, nbits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _decompress(info: TiffInfo, raw: bytes) -> bytes:
     if info.compression == 1:
         return raw
@@ -321,8 +372,14 @@ def write_geotiff(tiles: DataFrame, path: str, height: int, width: int,
                              zlib.compress(full.tobytes(), level)))
             yield pd.DataFrame(rows, columns=["idx", "blob"])
 
+    # toLocalIterator: the driver streams compressed blobs partition by
+    # partition instead of materializing the whole raster in driver memory
+    # (a single .tif is inherently a one-writer sink; for true 100 TB
+    # output the engine's native sink is the partitioned tile table —
+    # this writer exists for interop/export parity)
     blobs = {int(r["idx"]): bytes(r["blob"])
-             for r in tiles.mapInPandas(_compress, out_schema).collect()}
+             for r in tiles.mapInPandas(_compress, out_schema)
+             .toLocalIterator()}
     n = ntx * nty
     empty = zlib.compress(
         np.full((tile_px, tile_px), np.float32(nodata),

@@ -84,6 +84,36 @@ def test_tile_table_bit_matches_driver_decode(spark, real_raster):
                           np.nan_to_num(full, nan=-1.0))
 
 
+def test_lzw_roundtrip_properties():
+    """decode(encode(x)) == x over adversarial byte strings: long runs
+    (deep table chains), random bytes (fast table growth → width bumps at
+    511/1023/2047), table-full reset (> 4k entries), and the classic
+    KwKwK self-referential pattern."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from air_health_gis_tools_spark.sources.geotiff import (lzw_decode,
+                                                            lzw_encode)
+    rng = np.random.default_rng(17)
+    cases = [
+        b"",
+        b"A",
+        b"ABABABABABAB" * 50,            # KwKwK chains
+        bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),  # width bumps+reset
+        bytes(1000 * [7]),               # single long run
+        bytes(rng.integers(0, 4, 30000, dtype=np.uint8)),    # low-entropy
+    ]
+    for c in cases:
+        assert lzw_decode(lzw_encode(c)) == c, len(c)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def prop(data):
+        assert lzw_decode(lzw_encode(data)) == data
+
+    prop()
+
+
 def test_geotiff_sink_roundtrip(spark, tmp_path):
     """S9-S11 raster sink: tile table → deflate-tiled GeoTIFF → reader
     restores the raster bit-exactly at float32 precision, incl. nodata→NaN

@@ -152,6 +152,37 @@ def test_streaming_hourly_equals_batch(spark, tmp_path):
     assert (m["max_value_s"] == m["max_value_b"]).all()
 
 
+def test_streaming_dedup_matches_batch_digest_set(spark, tmp_path):
+    """Streaming first-arrival dedup: survivor digest set == batch distinct
+    set, duplicates dropped, and a checkpointed re-run appends nothing."""
+    import shutil
+    from air_health_gis_tools_spark.streaming.dedup import (
+        run_dedup_stream_once)
+    import glob
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # two files with overlapping content: file2 duplicates file1's texts
+    # (flat files — the parquet stream source does not recurse)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "f1.parquet")
+    stage = tmp_path / "stage"
+    (docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+     .coalesce(1).write.parquet(str(stage)))
+    shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0],
+                src / "f2.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_dedup_stream_once(spark, str(src), out, ckpt)
+    got = spark.read.parquet(out)
+    batch_digests = {r[0] for r in
+                     docs.select(F.md5("text")).distinct().collect()}
+    got_digests = {r["digest"] for r in got.select("digest").collect()}
+    assert got_digests == batch_digests
+    assert got.count() == len(batch_digests)      # exactly one survivor
+    n1 = got.count()
+    run_dedup_stream_once(spark, str(src), out, ckpt)   # no new input
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_streaming_checkpoint_is_restartable(spark, tmp_path):
     src = _stage_events_dir(tmp_path)
     out = str(tmp_path / "out")
