@@ -1303,6 +1303,131 @@ def q43_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q45-q47: training-data pipeline stages beyond dedup — quality-rule
+# filtering (Gopher-style), benchmark-contamination detection, and
+# deterministic stratified sampling. All pure Catalyst expressions with
+# exact integer/single-division arithmetic ⇒ fully oracle-paired.
+# --------------------------------------------------------------------------
+
+def _quality_cols(dialect: str) -> list[tuple[str, str]]:
+    """Gopher-rule style signals (Rae et al. 2021 §A1.1 shape): word count,
+    mean word length, symbol ratio, stopword presence — each engine-exact
+    (integer counts; ratios are single divisions)."""
+    n_words = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    # non-alphanumeric-non-space chars via regexp strip length diff
+    sym = ("CAST(length(text) - length(regexp_replace(text, "
+           "'[^a-zA-Z0-9 ]', '')) AS BIGINT)")
+    stop = ("CAST((length(' ' || text || ' ') - length(replace("
+            "' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)")
+    return [
+        ("n_words", n_words),
+        ("mean_word_len",
+         f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n_words}"),
+        ("symbol_ratio", f"CAST({sym} AS DOUBLE) / length(text)"),
+        ("n_the", stop),
+    ]
+
+
+def _quality_pass_expr() -> str:
+    return ("(n_words >= 5 AND mean_word_len >= 2.0 "
+            "AND mean_word_len <= 12.0 AND symbol_ratio <= 0.05)")
+
+
+def q45_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    for name, e in _quality_cols("spark"):
+        d = d.withColumn(name, F.expr(e))
+    d = d.withColumn("passes", F.expr(_quality_pass_expr()))
+    return (d.groupBy("lang", "passes")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("sum_words"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+def q45_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in _quality_cols("duckdb"))
+    return f"""
+WITH sig AS (SELECT doc_id, lang, {cols} FROM documents)
+SELECT lang, {_quality_pass_expr()} AS passes, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       min(doc_id) AS min_doc_id
+FROM sig GROUP BY 1, 2
+"""
+
+
+CONTAM_NGRAM = 13
+CONTAM_PROBE_DOCS = 5       # doc_id < 5 plays the 'benchmark' set
+
+
+def q46_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share a
+    13-gram (character n-gram here; token n-grams are the same plan) with
+    the probe set. Plan: probe shingles are a tiny broadcast dim; the
+    corpus explodes its shingles map-side and semi-aggregates — the
+    standard decontamination join at 100 TB (probe side is always small).
+    """
+    d = _docs(spark, sf_dir)
+    g = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {CONTAM_NGRAM - 1},"
+        f" 1)), p -> substring(text, p, {CONTAM_NGRAM}))")
+    sh = d.select("doc_id", F.explode(g).alias("shingle"))
+    probe = (sh.filter(F.col("doc_id") < CONTAM_PROBE_DOCS)
+             .select("shingle").distinct())
+    hits = (sh.filter(F.col("doc_id") >= CONTAM_PROBE_DOCS)
+            .join(F.broadcast(probe), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_shingles")))
+    return hits
+
+
+def q46_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), {CONTAM_NGRAM}) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - {CONTAM_NGRAM - 1}, 1) + 1)) AS p) t
+),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {CONTAM_PROBE_DOCS})
+SELECT s.doc_id, count(*) AS n_contaminated_shingles
+FROM sh s JOIN probe p USING (shingle)
+WHERE s.doc_id >= {CONTAM_PROBE_DOCS}
+GROUP BY s.doc_id
+"""
+
+
+SAMPLE_RATES = {"en": 500, "de": 250, "fr": 250}   # per-mille; others 125
+
+
+def _sample_keep_expr(dialect: str) -> str:
+    """Deterministic per-stratum sampling: keep iff
+    md5-hash(doc_id) mod 1000 < rate(lang). The SAME hash in both engines
+    (md5 hex → int), so the sample is reproducible anywhere — the
+    training-mix sampling primitive (seeded, restart-stable, no RNG
+    state)."""
+    if dialect == "spark":
+        h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+             "16, 10) AS BIGINT) % 1000")
+    else:
+        h = ("CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+             "AS BIGINT) % 1000")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{l}' THEN {r}" for l, r in SAMPLE_RATES.items()) \
+        + " ELSE 125 END"
+    return f"(({h}) < ({rate}))"
+
+
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.filter(F.expr(_sample_keep_expr("spark")))
+            .select("doc_id", "lang"))
+
+
+def q47_sql() -> str:
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE {_sample_keep_expr('duckdb')}")
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL oracle; weaker driver check, pytest-verified)
 # --------------------------------------------------------------------------
 
@@ -1433,6 +1558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_convolve_all_gather": q42_convolve_all_gather,
     "q43_ring_sample_mean": q43_ring_sample_mean,
     "q44_real_raster_zonal": q44_real_raster_zonal,
+    "q45_quality_rules": q45_quality_rules,
+    "q46_contamination": q46_contamination,
+    "q47_stratified_sample": q47_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1473,4 +1601,7 @@ ORACLES: dict[str, str] = {
     "q40_simhash_pairs": q40_sql(),
     "q42_convolve_all_gather": q42_sql(),
     "q43_ring_sample_mean": q43_sql(),
+    "q45_quality_rules": q45_sql(),
+    "q46_contamination": q46_sql(),
+    "q47_stratified_sample": q47_sql(),
 }
