@@ -76,7 +76,10 @@ def main():
 
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     only = set(only.split(",")) if only else None
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    # best-of-2 by default: this box shows ±2x run-to-run noise (shared
+    # host); min-of-reps inside one process rejects most of it while the
+    # full suite stays far inside the driver's timeout
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     def run(name, fn):
         if only is not None and name not in only:

@@ -61,6 +61,21 @@ def test_q40_simhash_pairs_no_cross_product(spark):
         assert "NestedLoop" not in p, q
 
 
+def test_q46_contamination_probe_is_broadcast(spark):
+    """The decontamination join must broadcast the probe shingle dim —
+    the corpus side (100 TB at scale) must never shuffle on shingle."""
+    p = plan_of(Q.QUERIES["q46_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q47_sample_no_shuffle(spark):
+    """Stratified sampling is a pure filter: scan → project → filter,
+    zero exchanges."""
+    p = plan_of(Q.QUERIES["q47_stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in p
+
+
 def test_q28_topk_no_global_sort(spark):
     p = plan_of(Q.q28_topk_quality(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
