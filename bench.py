@@ -116,6 +116,19 @@ def main():
     run("q01_zonal_tiled_600k", lambda: buffered_stats_tiled(
         pts, tiles, list(G.BUFFERS_M), 256)
         .select(F.sum("n_valid_10000")).collect())
+    # Method-1 strategy (convolve once, gather many): fixed whole-raster
+    # convolution cost + O(points) gather — the planner's pick when
+    # points >> pixels. Only meaningful at POINT_MULT >= 8 (below the
+    # crossover the fixed cost dominates and the planner would never pick
+    # it), so it joins the suite only for scaling-evidence runs or when
+    # explicitly selected.
+    if POINT_MULT >= 8 or only is not None:
+        from air_health_gis_tools_spark.operators.zonal import \
+            buffered_mean_convolve_all
+        run("q01_zonal_convolve_all_600k",
+            lambda: buffered_mean_convolve_all(
+                pts, tiles, list(G.BUFFERS_M), 256)
+            .select(F.sum("n_valid_10000")).collect())
     # rollup in its AT-SCALE regime: cell cardinality is a property of the
     # geography (fixed ~9M res-7 cells), not of the row count — so the
     # scaling multiplier amplifies rows per location, and the map-side

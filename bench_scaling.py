@@ -51,26 +51,29 @@ def run_bench(cpus: int, mult: int) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    mult = int(os.environ.get("SPARK_GRAFT_POINT_MULT", "32"))
-    lo = run_bench(n, mult)
-    hi = run_bench(4 * n, mult)
-
-    # merge into the sidecar so large workloads can be measured one query
-    # (or one group) at a time without losing earlier results
+    regen = "--regen" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--regen"]
+    n = int(argv[0]) if argv else 8
     sidecar = os.path.join(HERE, "BENCH", "scaling_results.json")
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     merged = {}
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             merged = json.load(f)
-    for q in lo["queries"]:
-        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
-        merged[q] = {"n": n, "mult": mult, "t_lo": t_lo, "t_hi": t_hi,
-                     "n_points": lo["n_points"],
-                     "eff": round((t_lo / t_hi) / 4, 3) if t_hi > 0 else None}
-    with open(sidecar, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
+    if not regen:
+        mult = int(os.environ.get("SPARK_GRAFT_POINT_MULT", "32"))
+        lo = run_bench(n, mult)
+        hi = run_bench(4 * n, mult)
+        # merge into the sidecar so large workloads can be measured one
+        # query (or one group) at a time without losing earlier results
+        for q in lo["queries"]:
+            t_lo, t_hi = lo["queries"][q], hi["queries"][q]
+            merged[q] = {"n": n, "mult": mult, "t_lo": t_lo, "t_hi": t_hi,
+                         "n_points": lo["n_points"],
+                         "eff": (round((t_lo / t_hi) / 4, 3)
+                                 if t_hi > 0 else None)}
+        with open(sidecar, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
 
     rows = [(q, e["t_lo"], e["t_hi"], e["eff"], e["n_points"])
             for q, e in sorted(merged.items())]
@@ -103,6 +106,14 @@ def main():
         "(cell cardinality is a property of the geography, fixed ~9M res-7 "
         "cells at 100 TB — map-side combine carries the growth); the other "
         "queries multiply distinct points.",
+        "",
+        "Strategy-crossover evidence (planner's Method-1 gate): at mult 8 "
+        "(4.8M points, same input) convolve_all beats the tiled cogroup "
+        "~3x — its cost is one fixed whole-raster convolution plus an "
+        "O(points) gather. Its own efficiency number is dominated by that "
+        "fixed stage at this SMALL raster (16.8M px = 256 coarse tasks); "
+        "on a 100 TB raster the convolution stage has millions of tiles "
+        "and parallelizes like the zonal kernel.",
         "",
     ]
     z = merged.get("q01_zonal_600k")
