@@ -491,6 +491,13 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     partial = (pts.groupBy("gkey")
                .cogroup(tiles.groupBy("gkey"))
                .applyInPandas(_partial, partial_schema))
+    # the partial table feeds BOTH branches below; without materialization
+    # Spark plans the cogroup kernel twice (one per union branch — verified
+    # via explain: two FlatMapCoGroupsInPandas nodes). Partials are
+    # points-scale (14 numbers per (point, tile)) — persisting them is the
+    # cheap side, never the raster.
+    from pyspark import StorageLevel
+    partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _finalize(df_):
         cols = [F.col(id_col)]

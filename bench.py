@@ -113,8 +113,15 @@ def main():
     from air_health_gis_tools_spark.sources.raster import synthetic_tile_table
     tiles = synthetic_tile_table(spark, tile_px=256).cache()
     tiles.count()
+    # unique hot_group_rows per invocation: buffered_stats_tiled persists
+    # its partials, and Spark's CacheManager serves any LATER call with an
+    # identical logical plan from that cache — which would make reps
+    # measure a cache read, not the kernel. A distinct plan per rep keeps
+    # the measurement honest (prod callers WANT the cache behavior).
+    _tiled_uniq = iter(range(1000))
     run("q01_zonal_tiled_600k", lambda: buffered_stats_tiled(
-        pts, tiles, list(G.BUFFERS_M), 256)
+        pts, tiles, list(G.BUFFERS_M), 256,
+        hot_group_rows=8192 + next(_tiled_uniq))
         .select(F.sum("n_valid_10000")).collect())
     # Method-1 strategy (convolve once, gather many): fixed whole-raster
     # convolution cost + O(points) gather — the planner's pick when
