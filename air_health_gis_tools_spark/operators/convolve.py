@@ -237,22 +237,38 @@ def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
                 win[rr + a0:rr + a1, cc + b0:cc + b1] = arr[a0:a1, b0:b1]
         filled = np.nan_to_num(win, nan=0.0)
         valid = (~np.isnan(win)).astype(np.float64)
+        # CHORD DECOMPOSITION: a circle kernel is one contiguous column
+        # run [lo, hi] per kernel row, so with a row-wise prefix sum each
+        # kernel row costs ONE subtraction per output pixel instead of
+        # (hi-lo+1) adds — 2r+1 ops/pixel instead of ~πr² (15× fewer at
+        # r=10). Exact for integer-valued rasters (our synthetic corpus
+        # and any counting raster): prefix sums stay below 2^53 so every
+        # subtraction is lossless; float rasters see ≤1 ulp-scale drift
+        # vs shift-accumulate order.
+        pf = np.cumsum(filled, axis=1)
+        pv = np.cumsum(valid, axis=1)
+        pf = np.concatenate([np.zeros((pf.shape[0], 1)), pf], axis=1)
+        pv = np.concatenate([np.zeros((pv.shape[0], 1)), pv], axis=1)
         row = {"tile_id": tile_id_of(otr, otc), "row0": r0, "col0": c0,
                "h": h, "w": w}
         for name, kern in bc_kernels.value.items():
             kh, kw = kern.shape
             hh, hw = kh // 2, kw // 2
-            # the kernel's own halo window inside the max-halo frame
             fr0, fc0 = ph - hh, pw - hw
             s = np.zeros((h, w))
             c = np.zeros((h, w))
             for di in range(kh):
-                for dj in range(kw):
-                    if kern[di, dj] != 0:
-                        s += filled[fr0 + di:fr0 + di + h,
-                                    fc0 + dj:fc0 + dj + w]
-                        c += valid[fr0 + di:fr0 + di + h,
-                                   fc0 + dj:fc0 + dj + w]
+                nz = np.flatnonzero(kern[di])
+                if not len(nz):
+                    continue
+                lo, hi = int(nz[0]), int(nz[-1])
+                assert (kern[di, lo:hi + 1] != 0).all(), \
+                    "chord decomposition requires row-convex kernels"
+                r_ = fr0 + di
+                s += (pf[r_:r_ + h, fc0 + hi + 1:fc0 + hi + 1 + w]
+                      - pf[r_:r_ + h, fc0 + lo:fc0 + lo + w])
+                c += (pv[r_:r_ + h, fc0 + hi + 1:fc0 + hi + 1 + w]
+                      - pv[r_:r_ + h, fc0 + lo:fc0 + lo + w])
             row[f"s_{name}"] = s.ravel()
             row[f"c_{name}"] = c.ravel().astype(np.int64)
         return pd.DataFrame([row])
