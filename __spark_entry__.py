@@ -5,8 +5,12 @@
 ``oracle_sql()`` pairs each with an exact DuckDB oracle (all floating outputs
 are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). Queries without an oracle entry
-(q22-q24: lang-id heuristic, simhash NN, LSH-ANN) are non-SQL-expressible
-kernels; they are pytest-verified instead.
+are non-SQL-expressible and pytest-verified instead: q22-q24 (lang-id
+heuristic kernel, FNV simhash, LSH-ANN), q30/q41 (S2 cells, IVF), q31
+(multimodal plumbing), and q44/q48, which run on the REFERENCE'S OWN
+binary fixtures (apg18e GeoTIFF, data/grids .rds) that DuckDB cannot read
+— their bit-level parity lives in tests/test_geotiff.py and
+tests/test_rds.py.
 """
 
 from __future__ import annotations

@@ -1502,6 +1502,31 @@ def q44_real_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 width=info.width, xres=1000)
 
 
+def q48_rds_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most basic workflow on its OWN inputs: .rds point
+    grid (pure-Python R-serialization reader) → affine inverse → per-point
+    pixel gather from the real GeoTIFF tile table (J2 on real data).
+    Rows-only for the driver; decode parity is pinned in test_rds.py /
+    test_geotiff.py."""
+    from ..operators.convolve import gather_point_values
+    from ..sources.geotiff import geotiff_tile_table, read_ifd, rowcol_of_xy
+    from ..sources.rds import rds_to_pandas
+    tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
+    info = read_ifd(tif)
+    pts = rds_to_pandas("/root/reference/data/grids/testing_points.rds")
+    rows, cols = rowcol_of_xy(info, pts["X"].to_numpy(),
+                              pts["Y"].to_numpy())
+    sdf = spark.createDataFrame(
+        [(int(f), int(c) * 1000 + 500, int(r) * 1000 + 500)
+         for f, r, c in zip(pts["FID"], rows, cols)
+         if 0 <= r < info.height and 0 <= c < info.width],
+        "doc_id long, x long, y long")
+    tiles = geotiff_tile_table(spark, tif)
+    return (gather_point_values(sdf, tiles, out_col="popdens",
+                                tile_px=128)
+            .withColumnRenamed("doc_id", "fid"))
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1561,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_quality_rules": q45_quality_rules,
     "q46_contamination": q46_contamination,
     "q47_stratified_sample": q47_stratified_sample,
+    "q48_rds_point_sample": q48_rds_point_sample,
 }
 
 ORACLES: dict[str, str] = {
