@@ -98,8 +98,12 @@ def hex_cell_expr(res: int, x_col: str = "x", y_col: str = "y"):
       i = i0+di is monotone in di).
     """
     w, h = HEX_PITCH[res]
-    i0 = f"(({x_col}) DIV {w})"
-    j0 = f"(({y_col}) DIV {h})"
+    # FLOOR division, exact in int64: Spark's DIV truncates toward zero,
+    # but the Arrow kernel (numpy //) floors — subtracting pmod first makes
+    # the dividend an exact multiple of the pitch, where truncation == floor,
+    # so the expression matches hex_assign_np for negative coords too
+    i0 = f"((({x_col}) - pmod({x_col}, {w})) DIV {w})"
+    j0 = f"((({y_col}) - pmod({y_col}, {h})) DIV {h})"
 
     def key(di: int, dj: int) -> str:
         i = f"({i0} + {di})"

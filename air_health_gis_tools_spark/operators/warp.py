@@ -58,14 +58,22 @@ def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int,
             rr = int(t.row0) - src_r0
             cc = int(t.col0) - src_c0
             win[rr:rr + t.h, cc:cc + t.w] = arr
-        # nearest gather at output pixel centers
-        idx = np.arange(tile_px) * f + f // 2
-        out = win[np.ix_(idx, idx)]
         # trim edge tiles to the true downsampled extent so h/w metadata
         # matches the output raster dims (no phantom NaN-padded pixels)
         h = min(tile_px, out_h - otr * tile_px)
         w = min(tile_px, out_w - otc * tile_px)
-        out = out[:h, :w]
+        # nearest gather at output pixel centers; absolute source index
+        # clamped to the raster extent (edge replication), matching the
+        # bilinear/Lanczos clamp and rasterio's Resampling.nearest — else
+        # the last output row/col goes phantom-NaN whenever R*f + f//2
+        # falls past the source extent (e.g. height=997, f=4)
+        idx_r = np.clip(
+            np.arange(otr * tile_px, otr * tile_px + h, dtype=np.int64)
+            * f + f // 2, 0, height - 1) - src_r0
+        idx_c = np.clip(
+            np.arange(otc * tile_px, otc * tile_px + w, dtype=np.int64)
+            * f + f // 2, 0, width - 1) - src_c0
+        out = win[np.ix_(idx_r, idx_c)]
         return pd.DataFrame([{
             "tile_id": tile_id_of(otr, otc),
             "row0": otr * tile_px, "col0": otc * tile_px,

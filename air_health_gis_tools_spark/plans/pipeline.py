@@ -109,6 +109,14 @@ def extract_pipeline(pages: DataFrame, monitors: DataFrame,
         zon = buffered_mean_convolve_all(slim, tiles, buffers_m, tile_px,
                                          id_col="doc_id")
         zon = slim.select("url", "doc_id").join(zon, "doc_id")
+    elif tiles is not None:
+        # planner chose broadcast for a raster SMALL enough to be resident,
+        # but the caller supplied a real tile table — materialize it into
+        # the broadcast ndarray so the supplied raster is what gets
+        # sampled (never silently fall back to the synthetic formula)
+        from ..sources.raster import tile_table_to_array
+        zon = buffered_stats(slim, buffers_m,
+                             raster=tile_table_to_array(tiles))
     else:
         zon = buffered_stats(slim, buffers_m)
     plan = ZonalPlan(strategy, plan.reason)

@@ -422,8 +422,15 @@ def write_geotiff(tiles: DataFrame, path: str, height: int, width: int,
             if size > 4 and val is not None:
                 aux[t] = (cur, val if isinstance(val, bytes) else val)
                 cur += size
-        off_324, off_325 = cur, cur + 4 * n
-        data_off = off_325 + 4 * n
+        if n == 1:
+            # single-tile raster: count-1 LONG values are size 4 → TIFF
+            # requires them INLINE in the entry value field (a pointer
+            # there would be misread as the tile offset itself)
+            off_324 = off_325 = None
+            data_off = cur
+        else:
+            off_324, off_325 = cur, cur + 4 * n
+            data_off = off_325 + 4 * n
         offsets = []
         o = data_off
         for i in range(n):
@@ -434,9 +441,13 @@ def write_geotiff(tiles: DataFrame, path: str, height: int, width: int,
         for t, typ, cnt, val in all_tags:
             size = _TYPE_SIZE[typ] * cnt
             if t == 324:
-                f.write(struct.pack("<HHII", t, typ, cnt, off_324))
+                f.write(struct.pack(
+                    "<HHII", t, typ, cnt,
+                    offsets[0] if n == 1 else off_324))
             elif t == 325:
-                f.write(struct.pack("<HHII", t, typ, cnt, off_325))
+                f.write(struct.pack(
+                    "<HHII", t, typ, cnt,
+                    counts[0] if n == 1 else off_325))
             elif size > 4:
                 f.write(struct.pack("<HHII", t, typ, cnt, aux[t][0]))
             else:
@@ -447,8 +458,9 @@ def write_geotiff(tiles: DataFrame, path: str, height: int, width: int,
         f.write(struct.pack("<I", 0))     # next IFD
         for t in sorted(aux):
             f.write(aux[t][1])
-        f.write(struct.pack(f"<{n}I", *offsets))
-        f.write(struct.pack(f"<{n}I", *counts))
+        if n > 1:
+            f.write(struct.pack(f"<{n}I", *offsets))
+            f.write(struct.pack(f"<{n}I", *counts))
         for i in range(n):
             f.write(blobs.get(i, empty))
 

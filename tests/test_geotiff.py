@@ -137,6 +137,25 @@ def test_geotiff_sink_roundtrip(spark, tmp_path):
     assert np.array_equal(back[both], src[both])
 
 
+def test_geotiff_sink_single_tile_inline_tags(spark, tmp_path):
+    """ADVICE r2: a single-tile raster (count==1 → tag size 4) must store
+    tile offset/count INLINE in the IFD entry value field per TIFF 6.0 —
+    a pointer there would be misread as the tile offset itself."""
+    from air_health_gis_tools_spark.sources.geotiff import write_geotiff
+    from air_health_gis_tools_spark.sources.raster import (
+        materialize_raster, synthetic_tile_table)
+    h, w = 100, 90
+    tiles = synthetic_tile_table(spark, tile_px=128, height=h, width=w)
+    out = str(tmp_path / "single.tif")
+    write_geotiff(tiles, out, height=h, width=w, tile_px=128)
+    back, info = read_geotiff(out)
+    assert len(info.offsets) == 1
+    src = materialize_raster(h, w).astype(np.float32).astype(np.float64)
+    assert np.array_equal(np.isnan(back), np.isnan(src))
+    both = ~np.isnan(src)
+    assert np.array_equal(back[both], src[both])
+
+
 def _probe_points(info, n=300):
     """Deterministic interior points in the engine's positive planar frame
     (row = y // 1000): ≥ 16 px from every edge so all buffers fit."""

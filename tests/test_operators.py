@@ -200,6 +200,26 @@ def test_hex_expr_equals_kernel(spark, pts):
         assert bad == 0, res
 
 
+def test_hex_expr_equals_kernel_negative_coords(spark):
+    """ADVICE r2: Spark DIV truncates toward zero while the Arrow kernel
+    floors — the expression must floor too, so negative-quadrant frames
+    (a reprojected CRS can go negative) agree bit-for-bit."""
+    from pyspark.sql import functions as F2
+    from air_health_gis_tools_spark.functions.cells import (hex_cell_expr,
+                                                            hex_cell_udf)
+    rng = np.random.default_rng(11)
+    rows = [(int(a), int(b)) for a, b in zip(
+        rng.integers(-500_000, 500_000, 2000),
+        rng.integers(-500_000, 500_000, 2000))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    for res in (7, 8, 9):
+        bad = (df.withColumn("a", hex_cell_udf(res)(F2.col("x"),
+                                                    F2.col("y")))
+               .withColumn("b", hex_cell_expr(res))
+               .filter(F2.col("a") != F2.col("b")).count())
+        assert bad == 0, res
+
+
 def test_hex_assignment_is_true_nearest_center():
     """Voronoi property: the chosen center is the argmin over a wide brute-
     force neighborhood (not just the 16-candidate window)."""

@@ -101,6 +101,33 @@ def test_pipeline_executes_every_planner_strategy(spark):
     assert got == want
 
 
+def test_pipeline_broadcast_uses_supplied_tiles(spark):
+    """ADVICE r2: when the planner picks 'broadcast' for a SMALL raster but
+    the caller supplied a real tile table, the tile table must be the
+    raster that gets sampled — never the synthetic formula fallback."""
+    from air_health_gis_tools_spark.operators.zonal import buffered_stats
+    from air_health_gis_tools_spark.sources.raster import (
+        tile_table_from_array, tile_table_to_array)
+    pages = synthetic_pages(spark, 50)
+    mons, polys = monitors_df(spark), polys_df(spark)
+    # constant raster covering the full synthetic extent: every in-extent
+    # buffer mean must be exactly 7.0 (trivially distinguishable from the
+    # formula raster's varying values)
+    arr = np.full((G.RASTER_H, G.RASTER_W), 7.0)
+    tiles = tile_table_from_array(spark, arr, tile_px=1024)
+    assert np.array_equal(
+        tile_table_to_array(
+            tile_table_from_array(spark, arr[:300, :200], tile_px=128)),
+        arr[:300, :200])  # helper round-trip
+    out = extract_pipeline(pages, mons, polys, tiles=tiles,
+                           n_points_estimate=100,
+                           raster_px=G.RASTER_H * G.RASTER_W)
+    assert out["plan"].strategy == "broadcast"
+    zon = out["zonal"].select("mean_10000", "n_valid_10000").collect()
+    assert all(r["mean_10000"] == 7.0 for r in zon if r["n_valid_10000"] > 0)
+    assert any(r["n_valid_10000"] > 0 for r in zon)
+
+
 def test_lineage_resume(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(4)))

@@ -54,6 +54,24 @@ def test_resample_nearest_trims_edge_tiles(spark):
                           np.nan_to_num(want, nan=-1))
 
 
+def test_resample_nearest_clamps_past_extent(spark):
+    """ADVICE r2: when the sample center R*f + f//2 falls past the source
+    extent (height % f in 1..f//2), nearest must clamp to the last source
+    row/col (edge replication) — not emit a phantom all-NaN output row."""
+    for h, w, f in ((401, 402, 4), (97, 99, 8), (101, 103, 2)):
+        tiles = synthetic_tile_table(spark, tile_px=64, height=h, width=w)
+        out = resample_tiles_nearest(tiles, factor=f, tile_px=64,
+                                     height=h, width=w).toPandas()
+        oh, ow = -(-h // f), -(-w // f)
+        got = _assemble(out, oh, ow)
+        src = materialize_raster(h, w)
+        idx_r = np.minimum(np.arange(oh) * f + f // 2, h - 1)
+        idx_c = np.minimum(np.arange(ow) * f + f // 2, w - 1)
+        want = src[np.ix_(idx_r, idx_c)]
+        assert np.array_equal(np.nan_to_num(got, nan=-1),
+                              np.nan_to_num(want, nan=-1)), (h, w, f)
+
+
 def test_resample_bilinear_matches_numpy(spark):
     h, w, f = 1000, 900, 4
     tiles = synthetic_tile_table(spark, tile_px=128, height=h, width=w)
