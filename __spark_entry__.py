@@ -2,15 +2,16 @@
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2;
-``oracle_sql()`` pairs each with an exact DuckDB oracle (all floating outputs
-are engineered to be bit-identical across engines — see
-air_health_gis_tools_spark/geo_synth.py). Queries without an oracle entry
-are non-SQL-expressible and pytest-verified instead: q22-q24 (lang-id
-heuristic kernel, FNV simhash, LSH-ANN), q30/q41 (S2 cells, IVF), q31
-(multimodal plumbing), and q44/q48, which run on the REFERENCE'S OWN
-binary fixtures (apg18e GeoTIFF, data/grids .rds) that DuckDB cannot read
-— their bit-level parity lives in tests/test_geotiff.py and
-tests/test_rds.py.
+``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
+outputs are engineered to be bit-identical across engines — see
+air_health_gis_tools_spark/geo_synth.py). Since r3 there are no rows-only
+queries left: the formerly `no_oracle` rows (q22-q24, q30, q31, q41,
+q44, q48) are hash-verified against committed golden parquet tables under
+``golden/``, computed independently by tools/make_golden.py (brute-force
+all-pairs for the banded simhash join, numpy ANN reimplementations at the
+pinned operating points, source-pixel features for the PNG decode path,
+and numpy zonal/gather over the reference's own binary fixtures — apg18e
+GeoTIFF, data/grids .rds — which DuckDB cannot read directly).
 """
 
 from __future__ import annotations

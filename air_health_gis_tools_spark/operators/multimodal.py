@@ -1,11 +1,12 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — ``decode_image`` raises unless a deterministic fake is
-requested), but everything Spark-side is real and tested: schema, Arrow
-batch shaping, size-aware partitioning, mapInPandas signatures, and the
-feature-extraction contract. Swapping the fake for PIL/ffmpeg is a one-
-function change on a real cluster.
+Round-3 upgrade: image decode is REAL — a pure-NumPy PNG codec
+(``sources/png.py``, written from the public PNG spec) replaces the round-2
+``NotImplementedError`` stub. The Spark-side plumbing is unchanged and
+battle-tested: schema, Arrow batch shaping, size-aware partitioning,
+mapInPandas signatures, and the feature-extraction contract. Audio/video
+decode would still need ffmpeg on a real cluster; their feature path here
+is a deterministic byte-histogram pool (documented, not hidden).
 """
 
 from __future__ import annotations
@@ -16,6 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+from ..sources.png import png_decode, png_encode
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -35,45 +38,67 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def media_image_array(media_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic RGB test image for media_id — pure integer math, so
+    the golden-oracle generator reproduces the SOURCE pixels without ever
+    calling the decoder (a genuine encode→decode cross-check)."""
+    rr = np.arange(height, dtype=np.int64)
+    cc = np.arange(width, dtype=np.int64)
+    r = (np.add.outer(rr * 3, cc * 7) + media_id) % 256
+    g = (np.add.outer(rr * 5, cc * 11) + media_id * 31) % 256
+    b = (np.add.outer(rr * 13, cc * 17) + media_id * 101) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def media_row(i: int) -> tuple:
+    """One deterministic media-table row (shared by the Spark fixture and
+    the driver-side golden generator)."""
+    kind = ("image", "audio", "video")[i % 3]
+    if kind == "image":
+        w, h = 64 + i % 64, 64 + i % 32
+        payload = png_encode(media_image_array(i, w, h))
+        return (i, kind, payload, w, h, None)
+    payload = (i * 2654435761 % (1 << 32)).to_bytes(4, "big") \
+        * (16 + i % 48)
+    return (i, kind, payload, None, None, 1000 + i % 9000)
+
+
 def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table; image payloads are REAL PNG bytes."""
     def _gen(batches):
         for pdf in batches:
-            ids = pdf["id"].to_numpy(np.int64)
-            rows = []
-            for i in ids:
-                kind = ("image", "audio", "video")[int(i) % 3]
-                payload = (int(i) * 2654435761 % (1 << 32)).to_bytes(4, "big") \
-                    * (16 + int(i) % 48)
-                rows.append((int(i), kind, payload,
-                             64 + int(i) % 64 if kind == "image" else None,
-                             64 + int(i) % 32 if kind == "image" else None,
-                             1000 + int(i) % 9000 if kind != "image" else None))
+            rows = [media_row(int(i)) for i in pdf["id"].to_numpy(np.int64)]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
 
     return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array.
-
-    STUB: real decode needs an image library absent from this container.
-    ``fake=True`` returns a deterministic pseudo-decode (seeded from the
-    payload digest) with the same shape contract, so the downstream plumbing
-    is fully exercisable in tests.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this environment); "
-            "pass fake=True for the deterministic test decoder")
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to (H,W) or (H,W,C) uint8 — pure NumPy
+    (sources/png.py), no image library needed."""
+    return png_decode(bytes(payload))
 
 
-def extract_features(media: DataFrame, fake_decode: bool = True,
-                     feat_dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction: per-batch decode → pooled feature.
+def image_feature(arr: np.ndarray, feat_dim: int = 8) -> np.ndarray:
+    """Channel-mean pooled feature (float32). Shared by the extract kernel
+    and the golden generator so parity is arithmetic identity."""
+    flat = arr.reshape(-1, arr.shape[2]) if arr.ndim == 3 \
+        else arr.reshape(-1, 1)
+    return np.resize(flat.mean(axis=0).astype(np.float32), feat_dim)
+
+
+def byte_histogram_feature(b: bytes, feat_dim: int = 8) -> np.ndarray:
+    """Audio/video pooled byte-histogram feature (deterministic; real
+    codecs are a cluster-deployment concern, documented stub-free here)."""
+    h = np.bincount(np.frombuffer(b, dtype=np.uint8),
+                    minlength=256).astype(np.float32)
+    feat = h.reshape(feat_dim, -1).sum(axis=1)
+    return (feat / max(float(feat.sum()), 1.0)).astype(np.float32)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: per-batch PNG decode → pooled
+    feature.
 
     The Arrow batch shape matters at scale: payloads are large, so batches
     are bounded by bytes not rows — callers should set
@@ -88,16 +113,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
                 b = bytes(payload)
                 digs.append(hashlib.sha256(b).hexdigest())
                 if kind == "image":
-                    arr = decode_image(b, fake=fake_decode)
-                    f8 = arr.reshape(-1, 3).mean(axis=0)
-                    feat = np.resize(f8.astype(np.float32), feat_dim)
+                    feats.append(image_feature(decode_image(b), feat_dim))
                 else:
-                    # audio/video: byte-histogram pooling (deterministic)
-                    h = np.bincount(np.frombuffer(b, dtype=np.uint8),
-                                    minlength=256).astype(np.float32)
-                    feat = h.reshape(feat_dim, -1).sum(axis=1)
-                    feat = feat / max(float(feat.sum()), 1.0)
-                feats.append(feat.astype(np.float32))
+                    feats.append(byte_histogram_feature(b, feat_dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -107,3 +125,59 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
             })
 
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize operator (nearest-neighbor, exact integer center map) —
+    decode → resample → re-encode, all inside one mapInPandas pass.
+    Non-image rows pass through untouched."""
+    def _resize(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                if t.kind != "image":
+                    rows.append((t.media_id, t.kind, bytes(t.payload),
+                                 t.width, t.height, t.duration_ms))
+                    continue
+                arr = decode_image(bytes(t.payload))
+                h, w = arr.shape[0], arr.shape[1]
+                ridx = np.minimum((np.arange(out_h) * 2 + 1) * h
+                                  // (2 * out_h), h - 1)
+                cidx = np.minimum((np.arange(out_w) * 2 + 1) * w
+                                  // (2 * out_w), w - 1)
+                small = arr[np.ix_(ridx, cidx)]
+                rows.append((t.media_id, t.kind, png_encode(small),
+                             out_w, out_h, t.duration_ms))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every_k: int = 4) -> DataFrame:
+    """Frame-sample operator for video payloads: the payload is treated as
+    a dense frame sequence (``frame_bytes`` per frame — a real deployment
+    swaps this slicer for an ffmpeg demux; the Spark shape — one row per
+    sampled frame, bounded fan-out — is the real contract)."""
+    def _frames(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                if t.kind != "video":
+                    continue
+                b = bytes(t.payload)
+                n = len(b) // frame_bytes
+                for fno in range(0, n, every_k):
+                    rows.append((t.media_id, fno,
+                                 b[fno * frame_bytes:(fno + 1) * frame_bytes]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)

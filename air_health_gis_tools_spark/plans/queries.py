@@ -11,6 +11,7 @@ SURVEY.md §2 coverage is annotated per query (S/P/J/A/F numbers).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -1454,11 +1455,21 @@ def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction with REAL PNG decode (r3: pure-NumPy
+    codec, stub gone). ``sum_feat0`` folds the decoded pixel values into
+    the output (quantized ×1024 → exact BIGINT), so the driver's hash
+    oracle checks the decoder itself — the golden generator computes the
+    same aggregate from the SOURCE pixel arrays without ever decoding
+    (tools/make_golden.py)."""
     from ..operators.multimodal import extract_features, synthetic_media
     media = synthetic_media(spark, 200)
     return (extract_features(media)
+            .withColumn("feat0_q",
+                        F.expr("CAST(floor(CAST(element_at(feature, 1) AS "
+                               "DOUBLE) * 1024 + 0.5) AS BIGINT)"))
             .groupBy("kind").agg(F.count(F.lit(1)).alias("n"),
-                                 F.sum("n_bytes").alias("total_bytes")))
+                                 F.sum("n_bytes").alias("total_bytes"),
+                                 F.sum("feat0_q").alias("sum_feat0")))
 
 def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1480,15 +1491,22 @@ def q23_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q44_real_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship zonal over the reference's REAL GeoTIFF
-    (data/apg18e_1_0_0_20210512.tif — LZW tiled float32), decoded by the
-    pure-NumPy TIFF reader on executors and run through the tiled cogroup
-    scale path. Rows-only for the driver (DuckDB cannot read the TIFF);
-    bit-level parity vs a numpy oracle is pinned in tests/test_geotiff.py.
+    (data/apg18e_1_0_0_20210512.tif — LZW tiled float32), pure-NumPy TIFF
+    decode, broadcast-raster kernel.
+
+    r3: oracle-paired via a committed golden parquet (tools/make_golden.py
+    computes the same stats with the independent numpy oracle expressions
+    over the driver-decoded raster). The broadcast kernel is the strategy
+    whose float sums are ORDER-IDENTICAL to the numpy oracle (bit parity
+    proven in tests/test_geotiff.py); the tiled cogroup scale path on this
+    raster reorders float32-origin partial sums (1e-9 relative) and stays
+    pytest-verified (test_real_raster_zonal_tiled_parity) rather than
+    hash-verified.
     """
-    from ..operators.zonal import buffered_stats_tiled
-    from ..sources.geotiff import geotiff_tile_table, read_ifd
+    from ..operators.zonal import buffered_stats
+    from ..sources.geotiff import read_geotiff
     tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
-    info = read_ifd(tif)
+    full, info = read_geotiff(tif)
     d = _docs(spark, sf_dir)
     # deterministic interior probe points in the raster's pixel frame
     x = (F.lit(16) + F.pmod(F.col("doc_id") * 48271 + 11,
@@ -1496,10 +1514,9 @@ def q44_real_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = (F.lit(16) + F.pmod(F.col("doc_id") * 16807 + 23,
                             F.lit(info.height - 32))) * 1000 + 500
     pts = d.select("doc_id", x.alias("x"), y.alias("y"))
-    tiles = geotiff_tile_table(spark, tif)
-    return buffered_stats_tiled(pts, tiles, [700, 1000, 10000],
-                                tile_px=128, height=info.height,
-                                width=info.width, xres=1000)
+    return buffered_stats(pts, [700, 1000, 10000], raster=full,
+                          spark=spark, height=info.height,
+                          width=info.width, xres=1000)
 
 
 def q48_rds_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,6 +1606,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_rds_point_sample": q48_rds_point_sample,
 }
 
+# --------------------------------------------------------------------------
+# golden-parquet oracles (r3): queries DuckDB cannot express directly are
+# paired with committed expected tables computed INDEPENDENTLY by
+# tools/make_golden.py (brute-force / numpy / source-array paths — see that
+# module's independence notes). The sf-dependent goldens (q23/q24/q30/q41)
+# are pinned to the driver's correctness scale, sf0.01.
+# --------------------------------------------------------------------------
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "golden")
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
+
+
 ORACLES: dict[str, str] = {
     "q01_buffered_stats": q01_sql(),
     "q02_hex_cells": q02_sql(),
@@ -1630,4 +1664,15 @@ ORACLES: dict[str, str] = {
     "q45_quality_rules": q45_sql(),
     "q46_contamination": q46_sql(),
     "q47_stratified_sample": q47_sql(),
+    # q22's Arrow lang-id kernel implements the SAME heuristic as q36's
+    # Catalyst expression — q36's pure-SQL oracle is therefore a genuine
+    # independent cross-implementation for the kernel too
+    "q22_lang_id": q36_sql(),
+    "q23_simhash_nn": _golden_sql("q23_simhash_nn"),
+    "q24_ann_lsh": _golden_sql("q24_ann_lsh"),
+    "q30_s2_cells": _golden_sql("q30_s2_cells"),
+    "q31_multimodal_features": _golden_sql("q31_multimodal_features"),
+    "q41_ann_ivf": _golden_sql("q41_ann_ivf"),
+    "q44_real_raster_zonal": _golden_sql("q44_real_raster_zonal"),
+    "q48_rds_point_sample": _golden_sql("q48_rds_point_sample"),
 }

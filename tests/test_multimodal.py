@@ -1,27 +1,42 @@
-"""Multimodal plumbing: schema/batch-shape real, decode stubbed."""
+"""Multimodal operators: real PNG decode (r3), resize, frame sampling."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
-from air_health_gis_tools_spark.operators.multimodal import (decode_image,
-                                                             extract_features,
-                                                             synthetic_media)
+from air_health_gis_tools_spark.operators.multimodal import (
+    decode_image, extract_features, image_feature, media_image_array,
+    media_row, resize_images, sample_frames, synthetic_media)
+from air_health_gis_tools_spark.sources.png import png_decode, png_encode
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01", fake=False)
+def test_png_roundtrip_all_filters():
+    """Encoder cycles filter types 0-4 by row → every un-filter path is
+    exercised; decoded pixels must be bit-identical."""
+    rng = np.random.default_rng(7)
+    for shape in [(13, 17), (32, 9, 3), (7, 5, 4), (1, 1), (6, 200, 3)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(a)), a), shape
 
 
-def test_decode_fake_deterministic():
-    a = decode_image(b"payload", fake=True)
-    b = decode_image(b"payload", fake=True)
-    assert a.shape == (8, 8, 3) and (a == b).all()
-    assert (decode_image(b"other", fake=True) != a).any()
+def test_decode_rejects_non_png():
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01not a png")
 
 
-def test_feature_extraction_plumbing(spark):
+def test_decode_matches_source_pixels():
+    """encode→decode returns the SOURCE array: the fixture's pixel
+    generator never touches the decoder, so agreement is a real
+    cross-check of the codec, not a tautology."""
+    for i in (0, 3, 42, 199):
+        _, kind, payload, w, h, _ = media_row(i * 3)  # i*3 → image kind
+        assert kind == "image"
+        src = media_image_array(i * 3, w, h)
+        assert np.array_equal(decode_image(payload), src)
+
+
+def test_feature_extraction_real_decode(spark):
     media = synthetic_media(spark, 150)
     feats = extract_features(media).collect()
     assert len(feats) == 150
@@ -30,8 +45,47 @@ def test_feature_extraction_plumbing(spark):
     for r in feats:
         assert len(r["feature"]) == 8
         assert r["n_bytes"] > 0 and len(r["digest"]) == 64
+    # image features == features of the source arrays (decoder parity)
+    by_id = {r["media_id"]: r for r in feats}
+    for i in (0, 3, 6, 9):
+        _, _, _, w, h, _ = media_row(i)
+        want = image_feature(media_image_array(i, w, h))
+        got = np.array(by_id[i]["feature"], dtype=np.float32)
+        assert np.array_equal(got, want), i
     # determinism across runs
     feats2 = extract_features(media).collect()
     d1 = {r["media_id"]: (r["digest"], list(r["feature"])) for r in feats}
     d2 = {r["media_id"]: (r["digest"], list(r["feature"])) for r in feats2}
     assert d1 == d2
+
+
+def test_resize_images(spark):
+    media = synthetic_media(spark, 30)
+    out = {r["media_id"]: r
+           for r in resize_images(media, 16, 12).collect()}
+    assert len(out) == 30
+    for i in (0, 3, 6):
+        r = out[i]
+        assert (r["width"], r["height"]) == (16, 12)
+        arr = decode_image(bytes(r["payload"]))
+        assert arr.shape == (12, 16, 3)
+        # nearest-neighbor oracle on the source array
+        w, h = media_row(i)[3], media_row(i)[4]
+        src = media_image_array(i, w, h)
+        ridx = np.minimum((np.arange(12) * 2 + 1) * h // 24, h - 1)
+        cidx = np.minimum((np.arange(16) * 2 + 1) * w // 32, w - 1)
+        assert np.array_equal(arr, src[np.ix_(ridx, cidx)])
+    # non-image rows untouched
+    for i in (1, 2):
+        assert bytes(out[i]["payload"]) == media_row(i)[2]
+
+
+def test_sample_frames(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, frame_bytes=64, every_k=4).collect()
+    assert frames, "no frames sampled"
+    ids = {r["media_id"] for r in frames}
+    assert all(i % 3 == 2 for i in ids)  # only video rows
+    for r in frames[:10]:
+        assert r["frame_no"] % 4 == 0
+        assert len(r["frame"]) == 64
