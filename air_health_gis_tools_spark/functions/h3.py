@@ -1,0 +1,474 @@
+"""H3-style icosahedral aperture-7 hierarchical hex index (res 0-15).
+
+Implements the public H3 construction (h3geo.org spec / Apache-2.0 library
+algorithms, re-derived and vectorized in NumPy — no h3 library exists in
+this environment): gnomonic projection per icosahedron face, Class II/III
+hex grids alternating an asin(sqrt(3/28)) rotation per resolution,
+aperture-7 up/down coordinate arithmetic, the exact 64-bit cell layout
+(mode 1 | res | 7-bit base cell | 15x3-bit digits, unused digits = 7), and
+derived 122 base cells (20 face-center + 60 vertex-ward ring-1 + 30 edge +
+12 vertex cells — the official decomposition, re-derived from geometry).
+
+Honest deviations from the official library (documented, by necessity —
+the official orientation constants [faceCenterGeo / baseCellData /
+faceIjkBaseCells] are measured data unavailable offline, and fabricating
+them from memory would produce silently-wrong ids):
+- engine-canonical icosahedron orientation (poles at icosahedron vertices)
+  and base-cell numbering -> ids are NOT interchange-compatible with the
+  official library. The geometry/constants seam is `_build_icosa` +
+  `_build_bases`; dropping in the official tables there would emit
+  official ids.
+- the 12 vertex base cells are modeled as owner-face hexagons spanning 5
+  faces (official H3 models them as pentagons: 6 children, deleted K
+  axis). Child counts at vertex cells therefore differ (7 vs 6).
+- hex rounding uses exact nearest-center cube rounding (provably the
+  Voronoi assignment) rather than H3's branch-structured equivalent.
+
+Everything else matches the spec mechanically: parent = digit truncation
+(exact), aperture-7 class alternation, k-ring via ijk disks, compact /
+uncompact. SURVEY.md F12 / north_star "H3 res 7-9" surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_SQRT3_2 = math.sqrt(3.0) / 2.0
+ALPHA = math.asin(math.sqrt(3.0 / 28.0))   # aperture-7 Class III rotation
+MAX_RES = 15
+
+
+# --------------------------------------------------------------------------
+# icosahedron (engine-canonical orientation; closed-form vertices)
+# --------------------------------------------------------------------------
+
+def _build_icosa():
+    lat1 = math.atan(0.5)
+    verts = [(0.0, 0.0, 1.0)]
+    for k in range(5):                      # ring 1 (upper)
+        lng = math.radians(72.0 * k)
+        verts.append((math.cos(lat1) * math.cos(lng),
+                      math.cos(lat1) * math.sin(lng), math.sin(lat1)))
+    for k in range(5):                      # ring 2 (lower)
+        lng = math.radians(36.0 + 72.0 * k)
+        verts.append((math.cos(lat1) * math.cos(lng),
+                      math.cos(lat1) * math.sin(lng), -math.sin(lat1)))
+    verts.append((0.0, 0.0, -1.0))
+    V = np.array(verts)
+
+    faces = []
+    for k in range(5):                      # top cap
+        faces.append((0, 1 + k, 1 + (k + 1) % 5))
+    for k in range(5):                      # upper middle band
+        faces.append((1 + k, 6 + k, 1 + (k + 1) % 5))
+    for k in range(5):                      # lower middle band
+        faces.append((6 + k, 6 + (k + 1) % 5, 1 + (k + 1) % 5))
+    for k in range(5):                      # bottom cap
+        faces.append((11, 6 + (k + 1) % 5, 6 + k))
+    FACES = np.array(faces)
+
+    C = V[FACES].sum(axis=1)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    # per-face tangent basis: ex toward the face's first vertex
+    v0 = V[FACES[:, 0]]
+    ex = v0 - (v0 * C).sum(axis=1, keepdims=True) * C
+    ex /= np.linalg.norm(ex, axis=1, keepdims=True)
+    ey = np.cross(C, ex)
+    # res-0 unit in gnomonic plane: vertices sit at exactly 2 grid units
+    u0 = math.tan(math.acos(float((C[0] * V[FACES[0, 0]]).sum()))) / 2.0
+    return V, FACES, C, ex, ey, u0
+
+
+VERTS, FACES, CENTERS, EX, EY, U0 = _build_icosa()
+assert abs(U0 - (3.0 - math.sqrt(5.0)) / 2.0) < 1e-12   # = 1/phi^2
+
+
+# --------------------------------------------------------------------------
+# planar hex machinery (axial coords; q = i-k, r = j-k of H3's CoordIJK)
+# --------------------------------------------------------------------------
+
+def _cube_round(qf: np.ndarray, rf: np.ndarray):
+    """Exact nearest-hex rounding via cube coordinates.
+
+    Our axial basis is (1,0) and (-1/2, sqrt3/2) (120 deg apart, matching
+    H3's q=i-k, r=j-k with x = q - r/2): convert to the standard 60-deg
+    axial (q' = q - r, r' = r), cube-round there, convert back."""
+    qs = qf - rf
+    rs = rf
+    ss = -qs - rs
+    q = np.round(qs)
+    r = np.round(rs)
+    s = np.round(ss)
+    dq = np.abs(q - qs)
+    dr = np.abs(r - rs)
+    ds = np.abs(s - ss)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return (q + r).astype(np.int64), r.astype(np.int64)
+
+
+def _axial_to_xy(q, r, res: int):
+    """Axial @ res -> face-plane coords (gnomonic units)."""
+    s = U0 * 7.0 ** (-0.5 * res)
+    x = (q - 0.5 * r) * s
+    y = (_SQRT3_2 * r) * s
+    if res % 2:                      # Class III: grid rotated ccw by ALPHA
+        ca, sa = math.cos(ALPHA), math.sin(ALPHA)
+        x, y = ca * x - sa * y, sa * x + ca * y
+    return x, y
+
+
+def _xy_to_axial_frac(x, y, res: int):
+    if res % 2:
+        ca, sa = math.cos(-ALPHA), math.sin(-ALPHA)
+        x, y = ca * x - sa * y, sa * x + ca * y
+    s = U0 * 7.0 ** (-0.5 * res)
+    rf = y / (_SQRT3_2 * s)
+    qf = x / s + 0.5 * rf
+    return qf, rf
+
+
+# digit <-> axial unit vector (H3 CoordIJK digit order: C K J JK I IK IJ)
+_DIGIT_VEC = np.array([(0, 0), (-1, -1), (0, 1), (-1, 0),
+                       (1, 0), (0, -1), (1, 1)], dtype=np.int64)
+_DIGIT_OF = np.full((3, 3), 7, dtype=np.int64)
+for _d, (_dq, _dr) in enumerate(_DIGIT_VEC):
+    _DIGIT_OF[_dq + 1, _dr + 1] = _d
+
+
+def _up_once(q, r, rr: int):
+    """Parent axial at res rr-1 of child axial at res rr (+ the digit)."""
+    if rr % 2:                       # Class III: aperture-7 ccw
+        pqf = (3.0 * q - r) / 7.0
+        prf = (q + 2.0 * r) / 7.0
+    else:                            # Class II: aperture-7 cw
+        pqf = (2.0 * q + r) / 7.0
+        prf = (3.0 * r - q) / 7.0
+    pq, pr = _cube_round(pqf, prf)
+    cq, cr = _down_once(pq, pr, rr, None)
+    digit = _DIGIT_OF[np.clip(q - cq, -1, 1) + 1,
+                      np.clip(r - cr, -1, 1) + 1]
+    return pq, pr, digit
+
+
+def _down_once(q, r, rr: int, digit):
+    """Axial at res rr of (parent axial at rr-1, digit). digit=None: center."""
+    if rr % 2:
+        cq, cr = 2 * q + r, -q + 3 * r
+    else:
+        cq, cr = 3 * q - r, q + 2 * r
+    if digit is not None:
+        cq = cq + _DIGIT_VEC[digit, 0]
+        cr = cr + _DIGIT_VEC[digit, 1]
+    return cq, cr
+
+
+def _hex_dist(q, r):
+    # 120-deg axial basis: the third cube coordinate is q - r
+    return (np.abs(q) + np.abs(r) + np.abs(q - r)) // 2
+
+
+# --------------------------------------------------------------------------
+# sphere <-> face plane
+# --------------------------------------------------------------------------
+
+def _latlng_to_xyz(lat_deg, lng_deg):
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    c = np.cos(phi)
+    return np.stack([c * np.cos(lam), c * np.sin(lam), np.sin(phi)], axis=1)
+
+
+def _nearest_face(p: np.ndarray) -> np.ndarray:
+    # argmax takes the FIRST max -> deterministic lowest-id tie-break
+    return np.argmax(np.round(p @ CENTERS.T, 12), axis=1)
+
+
+def _face_xy(p: np.ndarray, f: np.ndarray):
+    """Gnomonic projection of unit vectors p onto face f's tangent plane."""
+    c = CENTERS[f]
+    d = (p * c).sum(axis=1)
+    qv = p / d[:, None] - c
+    return (qv * EX[f]).sum(axis=1), (qv * EY[f]).sum(axis=1)
+
+
+def _cell_center_xyz(f: np.ndarray, q, r, res: int) -> np.ndarray:
+    x, y = _axial_to_xy(q.astype(np.float64), r.astype(np.float64), res)
+    p = CENTERS[f] + x[:, None] * EX[f] + y[:, None] * EY[f]
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------------
+# base cells: derived enumeration (122, the official decomposition)
+# --------------------------------------------------------------------------
+
+def _build_bases():
+    keys = []            # candidate (face, q0, r0)
+    for f in range(20):
+        for q in range(-4, 5):
+            for r in range(-4, 5):
+                if _hex_dist(np.int64(q), np.int64(r)) <= 4:
+                    keys.append((f, q, r))
+    karr = np.array(keys, dtype=np.int64)
+    centers = _cell_center_xyz(karr[:, 0], karr[:, 1], karr[:, 2], 0)
+    owners = _nearest_face(centers)
+
+    def _round_on(face: int, c: np.ndarray):
+        x, y = _face_xy(c[None, :], np.array([face]))
+        q, r = _cube_round(*_xy_to_axial_frac(x, y, 0))
+        return int(q[0]), int(r[0])
+
+    canon: list[tuple[int, int, int]] = []
+    for idx, (f, q, r) in enumerate(keys):
+        g = int(owners[idx])
+        if g == f:
+            canon.append((f, q, r))
+        elif g > f:
+            # straddle pair: canonical under the lower face id iff the
+            # mirror round-trips (g's nearest cell to our center maps back)
+            q2, r2 = _round_on(g, centers[idx])
+            c2 = _cell_center_xyz(np.array([g]), np.array([q2]),
+                                  np.array([r2]), 0)[0]
+            if int(_nearest_face(c2[None, :])[0]) == f \
+                    and _round_on(f, c2) == (q, r):
+                canon.append((f, q, r))
+    canon.sort()
+    base_of = {k: i for i, k in enumerate(canon)}
+    bcent = _cell_center_xyz(
+        np.array([k[0] for k in canon]), np.array([k[1] for k in canon]),
+        np.array([k[2] for k in canon]), 0)
+    # vertex bases: center coincides with an icosahedron vertex
+    vd = np.max(np.round(bcent @ VERTS.T, 9), axis=1)
+    is_vertex = vd >= 1.0 - 1e-9
+    # total keymap: every candidate key -> nearest canonical base
+    keymap = {}
+    near = np.argmax(np.round(centers @ bcent.T, 12), axis=1)
+    for idx, k in enumerate(keys):
+        keymap[k] = int(base_of.get(k, near[idx]))
+    return canon, base_of, bcent, is_vertex, keymap
+
+
+BASES, BASE_OF, BASE_CENTERS, BASE_IS_VERTEX, KEYMAP = _build_bases()
+NUM_BASE_CELLS = len(BASES)
+assert NUM_BASE_CELLS == 122, NUM_BASE_CELLS
+assert int(BASE_IS_VERTEX.sum()) == 12, int(BASE_IS_VERTEX.sum())
+_BASE_HOME = np.array([b[0] for b in BASES], dtype=np.int64)
+_BASE_Q = np.array([b[1] for b in BASES], dtype=np.int64)
+_BASE_R = np.array([b[2] for b in BASES], dtype=np.int64)
+
+
+def _keymap_lookup(f: np.ndarray, q0: np.ndarray, r0: np.ndarray
+                   ) -> np.ndarray:
+    """Vectorized KEYMAP[(f, q0, r0)] with a geometric fallback for keys
+    outside the precomputed radius (assert-rare)."""
+    enc = f * 100_000 + (q0 + 50) * 1000 + (r0 + 50)
+    out = np.empty(len(enc), dtype=np.int64)
+    uniq, inv = np.unique(enc, return_inverse=True)
+    vals = np.empty(len(uniq), dtype=np.int64)
+    for i, e in enumerate(uniq):
+        key = (int(e) // 100_000, (int(e) // 1000) % 100 - 50,
+               int(e) % 1000 - 50)
+        if key in KEYMAP:
+            vals[i] = KEYMAP[key]
+        else:   # far overage: nearest base center geometrically
+            c = _cell_center_xyz(np.array([key[0]]), np.array([key[1]]),
+                                 np.array([key[2]]), 0)
+            vals[i] = int(np.argmax(c @ BASE_CENTERS.T, axis=1)[0])
+    out[:] = vals[inv]
+    return out
+
+
+# --------------------------------------------------------------------------
+# 64-bit cell id layout (exactly H3's: mode 1, res, base, 15x3-bit digits)
+# --------------------------------------------------------------------------
+
+_MODE_CELL = 1
+
+
+def _pack(res: int, base: np.ndarray, digits: np.ndarray) -> np.ndarray:
+    """digits: (n, res) int array, digit for res 1..res."""
+    h = (np.int64(_MODE_CELL) << 59) | (np.int64(res) << 52) \
+        | (base.astype(np.int64) << 45)
+    full = np.full((len(base), MAX_RES), 7, dtype=np.int64)
+    if res:
+        full[:, :res] = digits
+    for rr in range(MAX_RES):
+        h = h | (full[:, rr] << (3 * (14 - rr)))
+    return h
+
+
+def cell_resolution(h: np.ndarray) -> np.ndarray:
+    return (np.asarray(h, dtype=np.int64) >> 52) & 0xF
+
+
+def cell_base(h: np.ndarray) -> np.ndarray:
+    return (np.asarray(h, dtype=np.int64) >> 45) & 0x7F
+
+
+def _digits(h: np.ndarray, res: int) -> np.ndarray:
+    h = np.asarray(h, dtype=np.int64)
+    return np.stack([(h >> (3 * (14 - rr))) & 7 for rr in range(res)],
+                    axis=1) if res else np.empty((len(h), 0), dtype=np.int64)
+
+
+def is_valid_cell(h: np.ndarray) -> np.ndarray:
+    h = np.asarray(h, dtype=np.int64)
+    mode_ok = ((h >> 59) & 0xF) == _MODE_CELL
+    res = cell_resolution(h)
+    base_ok = cell_base(h) < NUM_BASE_CELLS
+    ok = mode_ok & base_ok & (h >= 0)
+    for rr in range(MAX_RES):
+        d = (h >> (3 * (14 - rr))) & 7
+        used = rr < res
+        ok &= np.where(used, d < 7, d == 7)
+    return ok
+
+
+# --------------------------------------------------------------------------
+# core API
+# --------------------------------------------------------------------------
+
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Vectorized point -> cell id at res (the latLngToCell equivalent)."""
+    assert 0 <= res <= MAX_RES
+    p = _latlng_to_xyz(lat_deg, lng_deg)
+    n = len(p)
+    f = _nearest_face(p)
+    base = np.full(n, -1, dtype=np.int64)
+    digits = np.zeros((n, res), dtype=np.int64)
+    todo = np.arange(n)
+    for _ in range(4):    # home-face convergence (≥99.99% in ≤2 passes)
+        if not len(todo):
+            break
+        x, y = _face_xy(p[todo], f[todo])
+        q, r = _cube_round(*_xy_to_axial_frac(x, y, res))
+        dg = np.zeros((len(todo), res), dtype=np.int64)
+        for rr in range(res, 0, -1):
+            q, r, d = _up_once(q, r, rr)
+            dg[:, rr - 1] = d
+        b = _keymap_lookup(f[todo], q, r)
+        base[todo] = b
+        digits[todo] = dg
+        home = _BASE_HOME[b]
+        moved = home != f[todo]
+        f[todo[moved]] = home[moved]
+        todo = todo[moved]
+    return _pack(res, base, digits)
+
+
+def cell_to_latlng(h: np.ndarray):
+    """Cell id -> center (lat, lng) degrees."""
+    h = np.asarray(h, dtype=np.int64)
+    out_lat = np.empty(len(h), dtype=np.float64)
+    out_lng = np.empty(len(h), dtype=np.float64)
+    for res in np.unique(cell_resolution(h)):
+        m = cell_resolution(h) == res
+        hh = h[m]
+        b = cell_base(hh)
+        q, r = _BASE_Q[b].copy(), _BASE_R[b].copy()
+        dg = _digits(hh, int(res))
+        for rr in range(1, int(res) + 1):
+            q, r = _down_once(q, r, rr, dg[:, rr - 1])
+        c = _cell_center_xyz(_BASE_HOME[b], q, r, int(res))
+        out_lat[m] = np.degrees(np.arcsin(np.clip(c[:, 2], -1, 1)))
+        out_lng[m] = np.degrees(np.arctan2(c[:, 1], c[:, 0]))
+    return out_lat, out_lng
+
+
+def cell_to_parent(h: np.ndarray, parent_res: int) -> np.ndarray:
+    """EXACT parent: digit truncation + res rewrite (pure bit ops)."""
+    h = np.asarray(h, dtype=np.int64)
+    assert (cell_resolution(h) >= parent_res).all()
+    out = (h & ~(np.int64(0xF) << 52)) | (np.int64(parent_res) << 52)
+    for rr in range(parent_res, MAX_RES):
+        out = out | (np.int64(7) << (3 * (14 - rr)))
+    return out
+
+
+def cell_to_children(h: int, child_res: int) -> np.ndarray:
+    """All aperture-7 descendants at child_res (7^(child_res-res) ids)."""
+    res = int(cell_resolution(np.array([h]))[0])
+    assert child_res >= res
+    out = np.array([np.int64(h)])
+    for rr in range(res, child_res):
+        out = (out[:, None]
+               & ~(np.int64(7) << (3 * (14 - rr)))) \
+            | (np.arange(7, dtype=np.int64)[None, :] << (3 * (14 - rr)))
+        out = out.ravel()
+    out = (out & ~(np.int64(0xF) << 52)) | (np.int64(child_res) << 52)
+    return out
+
+
+def grid_disk(h: int, k: int) -> np.ndarray:
+    """Cells within grid distance k (the gridDisk equivalent): exact ijk
+    disk on the home face, geometric canonicalization across faces."""
+    res = int(cell_resolution(np.array([h]))[0])
+    b = int(cell_base(np.array([h]))[0])
+    q0, r0 = np.int64(_BASE_Q[b]), np.int64(_BASE_R[b])
+    dg = _digits(np.array([h], dtype=np.int64), res)
+    q, r = np.array([q0]), np.array([r0])
+    for rr in range(1, res + 1):
+        q, r = _down_once(q, r, rr, dg[:, rr - 1])
+    offs = [(dq, dr) for dq in range(-k, k + 1) for dr in range(-k, k + 1)
+            if _hex_dist(np.int64(dq), np.int64(dr)) <= k]
+    oq = q[0] + np.array([o[0] for o in offs], dtype=np.int64)
+    orr = r[0] + np.array([o[1] for o in offs], dtype=np.int64)
+    home = np.full(len(offs), _BASE_HOME[b], dtype=np.int64)
+    c = _cell_center_xyz(home, oq, orr, res)
+    lat = np.degrees(np.arcsin(np.clip(c[:, 2], -1, 1)))
+    lng = np.degrees(np.arctan2(c[:, 1], c[:, 0]))
+    return np.unique(latlng_to_cell(lat, lng, res))
+
+
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """Replace every complete 7-sibling set by its parent, recursively."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    out: list[np.ndarray] = []
+    cur = cells
+    while len(cur):
+        res = cell_resolution(cur)
+        top = res.max()
+        if top == 0:
+            out.append(cur)
+            break
+        at = cur[res == top]
+        keep = cur[res != top]
+        parents = cell_to_parent(at, int(top) - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 7]
+        promoted = np.isin(parents, full)
+        out.append(at[~promoted])
+        cur = np.unique(np.concatenate([keep, full]))
+        if not len(full):
+            out.append(keep)
+            break
+    return np.unique(np.concatenate(out)) if out else cells
+
+
+def uncompact_cells(cells: np.ndarray, res: int) -> np.ndarray:
+    outs = [cell_to_children(int(c), res)
+            for c in np.asarray(cells, dtype=np.int64)]
+    return np.unique(np.concatenate(outs))
+
+
+# --------------------------------------------------------------------------
+# Spark surface
+# --------------------------------------------------------------------------
+
+def h3_cell_udf(res: int):
+    """pandas_udf (x:long, y:long planar frame) -> H3-style cell id; same
+    planar->lat/lng ramp as the S2 kernel (functions/s2.py)."""
+    from .s2 import planar_to_latlng
+
+    @F.pandas_udf(LongType())
+    def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        lat, lng = planar_to_latlng(x.to_numpy(), y.to_numpy())
+        return pd.Series(latlng_to_cell(lat, lng, res))
+    return _udf

@@ -1544,6 +1544,28 @@ def q48_rds_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("doc_id", "fid"))
 
 
+def q49_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 north_star surface: icosahedral H3-style cell assignment at res
+    7-9 (functions/h3.py — derived 122-base-cell aperture-7 index, official
+    64-bit layout) + the EXACT parent operator (digit truncation) applied
+    in-plan: parent7 must equal a res-7 re-walk of the res-9 digits, so the
+    oracle hash checks both the kernel and the bit ops."""
+    from ..functions.h3 import cell_to_parent, h3_cell_udf
+    import pandas as pd  # noqa: F401  (pandas_udf closure)
+    pts = docs_xy(spark, sf_dir)
+    out = pts.select(
+        "doc_id",
+        h3_cell_udf(7)(F.col("x"), F.col("y")).alias("cell_h3_7"),
+        h3_cell_udf(8)(F.col("x"), F.col("y")).alias("cell_h3_8"),
+        h3_cell_udf(9)(F.col("x"), F.col("y")).alias("cell_h3_9"))
+
+    @F.pandas_udf("long")
+    def _parent7(c: pd.Series) -> pd.Series:
+        return pd.Series(cell_to_parent(c.to_numpy(), 7))
+
+    return out.withColumn("parent7_of_9", _parent7(F.col("cell_h3_9")))
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1604,6 +1626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_contamination": q46_contamination,
     "q47_stratified_sample": q47_stratified_sample,
     "q48_rds_point_sample": q48_rds_point_sample,
+    "q49_h3_cells": q49_h3_cells,
 }
 
 # --------------------------------------------------------------------------
@@ -1675,4 +1698,5 @@ ORACLES: dict[str, str] = {
     "q41_ann_ivf": _golden_sql("q41_ann_ivf"),
     "q44_real_raster_zonal": _golden_sql("q44_real_raster_zonal"),
     "q48_rds_point_sample": _golden_sql("q48_rds_point_sample"),
+    "q49_h3_cells": _golden_sql("q49_h3_cells"),
 }

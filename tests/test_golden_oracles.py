@@ -20,7 +20,8 @@ SF001 = "/root/testdata/sf0.01"
 
 GOLDEN_KEYS = ["q23_simhash_nn", "q24_ann_lsh", "q30_s2_cells",
                "q31_multimodal_features", "q41_ann_ivf",
-               "q44_real_raster_zonal", "q48_rds_point_sample"]
+               "q44_real_raster_zonal", "q48_rds_point_sample",
+               "q49_h3_cells"]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,182 @@
+"""H3-style icosahedral index: structural invariants from the public spec.
+
+No h3 library or published test vectors exist in this environment (and the
+official orientation constants are unavailable offline — see the module
+docstring for the documented deviations), so correctness is established the
+same way as the S2 module: spec-derived structural invariants that a wrong
+implementation could not satisfy simultaneously."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from air_health_gis_tools_spark.functions import h3
+
+
+def _rand_points(n, seed=0):
+    rng = np.random.default_rng(seed)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    return lat, lng
+
+
+def test_base_cell_decomposition():
+    """The official res-0 structure, re-derived: 122 base cells = 20 face
+    centers + 60 vertex-ward ring-1 + 30 edge + 12 vertex cells."""
+    assert h3.NUM_BASE_CELLS == 122
+    assert int(h3.BASE_IS_VERTEX.sum()) == 12
+    homes = np.array([b[0] for b in h3.BASES])
+    assert set(homes.tolist()) == set(range(20))
+    # every face owns its center cell
+    for f in range(20):
+        assert (f, 0, 0) in h3.BASE_OF
+    # base centers are distinct and well-separated on the sphere
+    dots = h3.BASE_CENTERS @ h3.BASE_CENTERS.T
+    np.fill_diagonal(dots, -1)
+    assert dots.max() < 0.999
+
+
+def test_bit_layout_is_h3s():
+    """mode 1 | res | base<128 | 3-bit digits, unused digits = 7 — the
+    published 64-bit H3 cell layout."""
+    lat, lng = _rand_points(2000, 1)
+    for res in (0, 1, 7, 9, 15):
+        c = h3.latlng_to_cell(lat, lng, res)
+        assert ((c >> 59) & 0xF == 1).all()          # mode
+        assert ((c >> 63) == 0).all()                # reserved high bit
+        assert (h3.cell_resolution(c) == res).all()
+        assert (h3.cell_base(c) < 122).all()
+        assert h3.is_valid_cell(c).all()
+        for rr in range(15):
+            d = (c >> (3 * (14 - rr))) & 7
+            if rr < res:
+                assert (d <= 6).all(), (res, rr)
+            else:
+                assert (d == 7).all(), (res, rr)
+
+
+def test_res0_covers_exactly_122_cells():
+    lat, lng = _rand_points(60000, 2)
+    c = h3.latlng_to_cell(lat, lng, 0)
+    assert len(np.unique(c)) == 122
+    # res 1: every one of the 122*7 children observed
+    c1 = h3.latlng_to_cell(lat, lng, 1)
+    assert len(np.unique(c1)) == 854
+
+
+def test_center_roundtrip():
+    """A cell's center maps back to the cell (away from the documented
+    base-boundary slivers: allow <=0.1% exceptions, each an adjacent
+    cell)."""
+    lat, lng = _rand_points(20000, 3)
+    for res in (0, 1, 2, 7, 9):
+        c = h3.latlng_to_cell(lat, lng, res)
+        clat, clng = h3.cell_to_latlng(c)
+        c2 = h3.latlng_to_cell(clat, clng, res)
+        frac = (c == c2).mean()
+        assert frac >= 0.999, (res, frac)
+        assert (h3.cell_resolution(c2) == res).all()
+
+
+def test_parent_is_exact_and_hierarchical():
+    lat, lng = _rand_points(20000, 4)
+    c9 = h3.latlng_to_cell(lat, lng, 9)
+    c7 = h3.cell_to_parent(c9, 7)
+    assert h3.is_valid_cell(c7).all()
+    # truncation chain is consistent: parent(parent(9->8)->7) == 9->7
+    assert (h3.cell_to_parent(h3.cell_to_parent(c9, 8), 7) == c7).all()
+    # parent shares the base cell
+    assert (h3.cell_base(c7) == h3.cell_base(c9)).all()
+    # direct assignment agrees for the vast majority (aperture-7 hierarchy
+    # does not nest exactly — boundary points legitimately differ, same as
+    # the official library)
+    d7 = h3.latlng_to_cell(lat, lng, 7)
+    agree = (c7 == d7).mean()
+    assert 0.80 < agree < 1.0, agree
+
+
+def test_children_invert_parent():
+    lat, lng = _rand_points(50, 5)
+    cells = h3.latlng_to_cell(lat, lng, 6)
+    for cell in np.unique(cells)[:20]:
+        ch = h3.cell_to_children(int(cell), 7)
+        assert len(ch) == 7
+        assert len(np.unique(ch)) == 7
+        assert (h3.cell_to_parent(ch, 6) == cell).all()
+        gch = h3.cell_to_children(int(cell), 8)
+        assert len(gch) == 49
+        assert (h3.cell_to_parent(gch, 6) == cell).all()
+
+
+def test_grid_disk_sizes_interior():
+    """|disk(k)| = 1 + 3k(k+1) for interior cells; disk contains the cell;
+    disk(1) cells are mutual neighbors of the center."""
+    # pick cells well inside a face (equatorial band, mid-face longitudes)
+    lat = np.array([5.0, -3.0, 10.0])
+    lng = np.array([12.0, 40.0, 80.0])
+    cells = h3.latlng_to_cell(lat, lng, 7)
+    for cell in cells:
+        for k in (1, 2, 3):
+            disk = h3.grid_disk(int(cell), k)
+            assert len(disk) == 1 + 3 * k * (k + 1), (cell, k)
+            assert int(cell) in disk.tolist()
+        d1 = h3.grid_disk(int(cell), 1)
+        for nb in d1:
+            if nb != cell:
+                assert int(cell) in h3.grid_disk(int(nb), 1).tolist()
+
+
+def test_compact_uncompact():
+    lat, lng = _rand_points(40, 6)
+    parents = np.unique(h3.latlng_to_cell(lat, lng, 5))[:10]
+    child = h3.uncompact_cells(parents, 7)
+    assert len(child) == len(parents) * 49
+    back = h3.compact_cells(child)
+    assert np.array_equal(np.sort(back), np.sort(parents))
+    # partial sets do not compact
+    partial = child[1:]
+    comp = h3.compact_cells(partial)
+    assert len(comp) > len(parents)
+
+
+def test_deterministic_and_dtype():
+    lat, lng = _rand_points(5000, 7)
+    a = h3.latlng_to_cell(lat, lng, 8)
+    b = h3.latlng_to_cell(lat, lng, 8)
+    assert np.array_equal(a, b)
+    assert a.dtype == np.int64
+    assert (a > 0).all()
+
+
+def test_cell_size_scaling():
+    """Aperture 7: mean cell 'radius' (center to farthest point mapping to
+    the cell) shrinks ~sqrt(7) per res."""
+    lat, lng = _rand_points(30000, 8)
+    sizes = {}
+    for res in (4, 5, 6):
+        c = h3.latlng_to_cell(lat, lng, res)
+        clat, clng = h3.cell_to_latlng(c)
+        # robust scale proxy: 95th percentile angular offset
+        sizes[res] = np.percentile(
+            np.hypot(np.radians(lat - clat)
+                     * 1.0, np.radians((lng - clng + 180) % 360 - 180)
+                     * np.cos(np.radians(lat))), 95)
+    r45 = sizes[4] / sizes[5]
+    r56 = sizes[5] / sizes[6]
+    assert 2.2 < r45 < 3.1, r45     # sqrt7 ~ 2.646
+    assert 2.2 < r56 < 3.1, r56
+
+
+def test_vertex_cells_unify_across_faces():
+    """Points ringed around an icosahedron vertex all land in ONE res-0
+    base cell (the vertex cell is not split between the 5 faces)."""
+    v = h3.VERTS[1]
+    lat0 = np.degrees(np.arcsin(v[2]))
+    lng0 = np.degrees(np.arctan2(v[1], v[0]))
+    ang = np.linspace(0, 360, 73)
+    lat = lat0 + 0.5 * np.cos(np.radians(ang))
+    lng = lng0 + 0.5 * np.sin(np.radians(ang)) / np.cos(np.radians(lat0))
+    cells = h3.latlng_to_cell(lat, lng, 0)
+    assert len(np.unique(cells)) == 1
+    assert bool(h3.BASE_IS_VERTEX[int(h3.cell_base(cells)[0])])

@@ -273,6 +273,26 @@ def golden_q48() -> pd.DataFrame:
         "popdens": arr[rows[keep], cols[keep]].astype("float64")})
 
 
+def golden_q49() -> pd.DataFrame:
+    """H3 cells driver-side (same kernel, pins Spark-side drift; kernel
+    correctness is covered by structural invariants in tests/test_h3.py)."""
+    from air_health_gis_tools_spark import geo_synth as G
+    from air_health_gis_tools_spark.functions.h3 import (cell_to_parent,
+                                                         latlng_to_cell)
+    from air_health_gis_tools_spark.functions.s2 import planar_to_latlng
+    d = _docs_pdf()
+    ids = d["doc_id"].to_numpy(np.int64)
+    x, y = G.point_xy_np(ids)
+    lat, lng = planar_to_latlng(x, y)
+    c9 = latlng_to_cell(lat, lng, 9)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "cell_h3_7": latlng_to_cell(lat, lng, 7),
+        "cell_h3_8": latlng_to_cell(lat, lng, 8),
+        "cell_h3_9": c9,
+        "parent7_of_9": cell_to_parent(c9, 7)})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -281,6 +301,7 @@ ALL = {
     "q41_ann_ivf": golden_q41,
     "q44_real_raster_zonal": golden_q44,
     "q48_rds_point_sample": golden_q48,
+    "q49_h3_cells": golden_q49,
 }
 
 
