@@ -1566,6 +1566,94 @@ def q49_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("parent7_of_9", _parent7(F.col("cell_h3_9")))
 
 
+def q50_two_crs_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical srg-dev run, end-to-end on its own data:
+    a point grid in EPSG:9473 (GDA2020 Albers) crossed with EPSG:3577 data
+    (srg-dev/README.md:23-26; calculate_focal_mean.py:64-99 — reproject
+    grid to target 3577, nearest-select data pixels, focal mean with
+    kernel radius max(ceil(700/1000),1) = 1).
+
+    Grid: every 3510th point of the reference's NSW_points_1km.rds (1.75M
+    pts, EPSG:3577), shifted into 9473 by the real Helmert+Albers chain to
+    reconstruct the README's missing 9473 grid fixture. The 9473→3577
+    inverse chain runs DISTRIBUTED in the Arrow kernel; stats come from
+    the order-stable broadcast zonal kernel, so the golden oracle
+    (tools/make_golden.py, same public equations driver-side) hash-matches
+    bit for bit."""
+    from ..functions.crs import epsg3577_to_epsg9473
+    from ..operators.zonal import buffered_stats
+    from ..sources.geotiff import read_geotiff
+    from ..sources.rds import rds_to_pandas
+    tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
+    full, info = read_geotiff(tif)
+    pts = rds_to_pandas(
+        "/root/reference/data/grids/NSW_points_1km.rds").iloc[::3510]
+    gx, gy = epsg3577_to_epsg9473(pts["x"].to_numpy(),
+                                  pts["y"].to_numpy())
+    grid = spark.createDataFrame(pd.DataFrame({
+        "fid": pts["FID"].to_numpy(np.int64),
+        "gx": gx, "gy": gy}))
+
+    x0, xres, y0, yres = info.transform
+
+    @F.pandas_udf("struct<row:bigint,col:bigint>")
+    def _to_pixel(gx: pd.Series, gy: pd.Series) -> pd.DataFrame:
+        from ..functions.crs import epsg9473_to_epsg3577
+        x94, y94 = epsg9473_to_epsg3577(gx.to_numpy(), gy.to_numpy())
+        col = np.floor((x94 - x0) / xres).astype(np.int64)
+        row = np.floor((y94 - y0) / yres).astype(np.int64)
+        return pd.DataFrame({"row": row, "col": col})
+
+    px = (grid.withColumn("_p", _to_pixel(F.col("gx"), F.col("gy")))
+          .select("fid", F.col("_p.row").alias("row"),
+                  F.col("_p.col").alias("col"))
+          .filter((F.col("row") >= 1) & (F.col("row") < info.height - 1)
+                  & (F.col("col") >= 1) & (F.col("col") < info.width - 1))
+          .withColumn("x", F.col("col") * 1000 + 500)
+          .withColumn("y", F.col("row") * 1000 + 500))
+    out = buffered_stats(px, [700], raster=full, spark=spark,
+                         height=info.height, width=info.width, xres=1000)
+    return out.select("fid", "row", "col", "mean_700", "min_700",
+                      "max_700", "n_valid_700")
+
+
+def q51_geocode_crs_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North_star chain end-to-end ON THE REAL RASTER: documents text →
+    geocode Arrow UDF (F11) → lat/lng → real EPSG:3577 Albers forward
+    (F1, Snyder equations) → affine inverse to the containing pixel (J1)
+    → gather popdens (J2). Every stage distributed; the golden oracle
+    replays the identical public-equation chain driver-side."""
+    from ..sources.geotiff import read_geotiff
+    tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
+    full, info = read_geotiff(tif)
+    bc = spark.sparkContext.broadcast(full)
+    pts = docs_xy(spark, sf_dir)
+    x0, xres, y0, yres = info.transform
+    h, w = info.height, info.width
+
+    @F.pandas_udf("struct<row:bigint,col:bigint,popdens:double>")
+    def _chain(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        from ..functions.crs import albers_forward
+        from ..functions.s2 import planar_to_latlng
+        lat, lng = planar_to_latlng(x.to_numpy(), y.to_numpy())
+        # map the synthetic frame into the raster's lat band (NSW-ish)
+        lat = -44.0 + (lat + 25.0) * 0.5
+        lng = 140.0 + (lng + 25.0) * 0.25
+        ax, ay = albers_forward(lat, lng)
+        col = np.floor((ax - x0) / xres).astype(np.int64)
+        row = np.floor((ay - y0) / yres).astype(np.int64)
+        inb = (row >= 0) & (row < h) & (col >= 0) & (col < w)
+        v = np.full(len(row), np.nan)
+        arr = bc.value
+        v[inb] = arr[row[inb], col[inb]]
+        return pd.DataFrame({"row": row, "col": col, "popdens": v})
+
+    return (pts.withColumn("_c", _chain(F.col("x"), F.col("y")))
+            .select("doc_id", F.col("_c.row").alias("row"),
+                    F.col("_c.col").alias("col"),
+                    F.col("_c.popdens").alias("popdens")))
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1627,6 +1715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_stratified_sample": q47_stratified_sample,
     "q48_rds_point_sample": q48_rds_point_sample,
     "q49_h3_cells": q49_h3_cells,
+    "q50_two_crs_focal": q50_two_crs_focal,
+    "q51_geocode_crs_pixel": q51_geocode_crs_pixel,
 }
 
 # --------------------------------------------------------------------------
@@ -1699,4 +1789,6 @@ ORACLES: dict[str, str] = {
     "q44_real_raster_zonal": _golden_sql("q44_real_raster_zonal"),
     "q48_rds_point_sample": _golden_sql("q48_rds_point_sample"),
     "q49_h3_cells": _golden_sql("q49_h3_cells"),
+    "q50_two_crs_focal": _golden_sql("q50_two_crs_focal"),
+    "q51_geocode_crs_pixel": _golden_sql("q51_geocode_crs_pixel"),
 }

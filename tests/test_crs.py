@@ -80,3 +80,46 @@ def test_raster_frame_lands_in_australia():
     lat, lon = albers_inverse(xs, ys)
     assert (lat > -50).all() and (lat < -5).all()
     assert (lon > 90).all() and (lon < 175).all()
+
+
+def test_gda2020_datum_shift_structure():
+    """GDA94->GDA2020 is ~1.8 m of NE plate motion over Australia (ICSM
+    magnitude), an exact similarity (roundtrip identity), and scale-true
+    to the published -0.01 ppm."""
+    import numpy as np
+    from air_health_gis_tools_spark.functions import crs
+    lat = np.array([-10.0, -25.0, -37.0, -43.0])
+    lon = np.array([115.0, 133.0, 145.0, 152.0])
+    la2, lo2 = crs.gda94_to_gda2020(lat, lon)
+    d = np.hypot((la2 - lat) * 111320.0,
+                 (lo2 - lon) * 111320.0 * np.cos(np.radians(lat)))
+    assert ((d > 1.2) & (d < 2.2)).all(), d
+    assert (la2 > lat).all() and (lo2 > lon).all()   # north-east motion
+    la3, lo3 = crs.gda2020_to_gda94(la2, lo2)
+    assert np.abs(la3 - lat).max() < 1e-11
+    assert np.abs(lo3 - lon).max() < 1e-11
+
+
+def test_epsg9473_chain_roundtrip_and_magnitude():
+    import numpy as np
+    from air_health_gis_tools_spark.functions import crs
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-43.0, -11.0, 300)
+    lon = rng.uniform(114.0, 153.0, 300)
+    x94, y94 = crs.albers_forward(lat, lon)
+    x20, y20 = crs.epsg3577_to_epsg9473(x94, y94)
+    d = np.hypot(x20 - x94, y20 - y94)
+    assert ((d > 1.2) & (d < 2.2)).all()
+    xb, yb = crs.epsg9473_to_epsg3577(x20, y20)
+    assert np.hypot(xb - x94, yb - y94).max() < 1e-6   # metres
+
+
+def test_ecef_roundtrip():
+    import numpy as np
+    from air_health_gis_tools_spark.functions import crs
+    rng = np.random.default_rng(6)
+    lat = rng.uniform(-80.0, 80.0, 500)
+    lon = rng.uniform(-179.0, 179.0, 500)
+    la, lo = crs.ecef_to_geodetic(crs.geodetic_to_ecef(lat, lon))
+    assert np.abs(la - lat).max() < 1e-11
+    assert np.abs(lo - lon).max() < 1e-11

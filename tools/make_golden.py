@@ -293,6 +293,70 @@ def golden_q49() -> pd.DataFrame:
         "parent7_of_9": cell_to_parent(c9, 7)})
 
 
+def golden_q50() -> pd.DataFrame:
+    """Reference srg-dev two-CRS workflow, replayed driver-side with the
+    same public Snyder/Helmert equations + the order-stable zonal
+    expressions (validates the DISTRIBUTED 9473->3577 kernel + zonal)."""
+    from air_health_gis_tools_spark.functions.crs import (
+        epsg3577_to_epsg9473, epsg9473_to_epsg3577)
+    from air_health_gis_tools_spark.operators.zonal import (circle_offsets,
+                                                            radius_px)
+    from air_health_gis_tools_spark.sources.geotiff import read_geotiff
+    from air_health_gis_tools_spark.sources.rds import rds_to_pandas
+    arr, info = read_geotiff(TIF)
+    pts = rds_to_pandas(
+        "/root/reference/data/grids/NSW_points_1km.rds").iloc[::3510]
+    gx, gy = epsg3577_to_epsg9473(pts["x"].to_numpy(),
+                                  pts["y"].to_numpy())
+    x94, y94 = epsg9473_to_epsg3577(gx, gy)
+    x0, xres, y0, yres = info.transform
+    col = np.floor((x94 - x0) / xres).astype(np.int64)
+    row = np.floor((y94 - y0) / yres).astype(np.int64)
+    keep = ((row >= 1) & (row < info.height - 1)
+            & (col >= 1) & (col < info.width - 1))
+    fid = pts["FID"].to_numpy(np.int64)[keep]
+    row, col = row[keep], col[keep]
+    dr, dc = circle_offsets(radius_px(700))
+    vals = arr[row[:, None] + dr[None, :], col[:, None] + dc[None, :]]
+    valid = ~np.isnan(vals)
+    cnt = valid.sum(axis=1)
+    s = np.where(valid, vals, 0.0).sum(axis=1)
+    has = cnt > 0
+    return pd.DataFrame({
+        "fid": fid, "row": row, "col": col,
+        "mean_700": np.where(has, s / np.maximum(cnt, 1), np.nan),
+        "min_700": np.where(
+            has, np.where(valid, vals, np.inf).min(axis=1), np.nan),
+        "max_700": np.where(
+            has, np.where(valid, vals, -np.inf).max(axis=1), np.nan),
+        "n_valid_700": cnt.astype("int64")})
+
+
+def golden_q51() -> pd.DataFrame:
+    """Geocode -> Albers -> pixel gather chain, driver-side replay."""
+    from air_health_gis_tools_spark import geo_synth as G
+    from air_health_gis_tools_spark.functions.crs import albers_forward
+    from air_health_gis_tools_spark.functions.s2 import planar_to_latlng
+    from air_health_gis_tools_spark.sources.geotiff import read_geotiff
+    arr, info = read_geotiff(TIF)
+    d = _docs_pdf()
+    ids = d["doc_id"].to_numpy(np.int64)
+    x, y = G.point_xy_np(ids)
+    lat, lng = planar_to_latlng(x, y)
+    lat = -44.0 + (lat + 25.0) * 0.5
+    lng = 140.0 + (lng + 25.0) * 0.25
+    ax, ay = albers_forward(lat, lng)
+    x0, xres, y0, yres = info.transform
+    col = np.floor((ax - x0) / xres).astype(np.int64)
+    row = np.floor((ay - y0) / yres).astype(np.int64)
+    inb = ((row >= 0) & (row < info.height)
+           & (col >= 0) & (col < info.width))
+    v = np.full(len(row), np.nan)
+    v[inb] = arr[row[inb], col[inb]]
+    return pd.DataFrame({"doc_id": ids, "row": row, "col": col,
+                         "popdens": v})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -302,6 +366,8 @@ ALL = {
     "q44_real_raster_zonal": golden_q44,
     "q48_rds_point_sample": golden_q48,
     "q49_h3_cells": golden_q49,
+    "q50_two_crs_focal": golden_q50,
+    "q51_geocode_crs_pixel": golden_q51,
 }
 
 
