@@ -166,16 +166,21 @@ def gather_point_values(points: DataFrame, tiles: DataFrame,
 
 def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
                              tile_px: int,
-                             height: int = RASTER_H, width: int = RASTER_W
-                             ) -> DataFrame:
+                             height: int = RASTER_H, width: int = RASTER_W,
+                             sb_tiles: int = 2) -> DataFrame:
     """Multi-kernel focal SUM + VALID-COUNT convolution in ONE halo pass.
 
     ``kernels``: {name: 0/1 ndarray}. The window is assembled once per
     output tile; each kernel then produces two planes — nansum and valid
-    count — so a downstream point gather can form the NaN-aware buffered
-    MEAN (A1 semantics: sum/valid-count, not sum/kernel-area). This is the
-    'convolve once' half of the reference's Method 1, generalized to all
-    buffer radii in one shuffle.
+    count — A1 semantics (sum/valid-count, not sum/kernel-area).
+
+    Role split (r3): this is the plane-MATERIALIZING variant — use it when
+    the convolved raster itself is the product (the reference's
+    calculate_focal_mean writes the focal-mean raster to disk; feed these
+    planes to ``sources/geotiff.write_geotiff``). For per-POINT extraction
+    the planner's Method-1 path is ``zonal.buffered_mean_convolve_all``,
+    which fuses the convolution and the gather into one superblock cogroup
+    and never ships the planes (~25 GB less movement per 201 M px).
 
     Boundary: outside-extent pixels stay NaN (A1 clips at the raster edge,
     utils.py:82-84) — unlike ``convolve_tiles``'s 'extend' replication
@@ -189,8 +194,9 @@ def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
     spark = tiles.sparkSession
     bc_kernels = spark.sparkContext.broadcast(
         {k: np.asarray(v, dtype=np.float64) for k, v in kernels.items()})
-    ntr = (height + tile_px - 1) // tile_px
-    ntc = (width + tile_px - 1) // tile_px
+    sb_px = sb_tiles * tile_px
+    nsr = (height + sb_px - 1) // sb_px
+    nsc = (width + sb_px - 1) // sb_px
 
     fields = [T.StructField("tile_id", T.LongType()),
               T.StructField("row0", T.IntegerType()),
@@ -202,30 +208,41 @@ def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
                    T.StructField(f"c_{k}", T.ArrayType(T.LongType()))]
     out_schema = T.StructType(fields)
 
-    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
-    off_col = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
-                        for a, b in offs])
-    trow = (F.col("row0") / tile_px).cast("int")
-    tcol = (F.col("col0") / tile_px).cast("int")
-    contrib = (tiles
-               .withColumn("_o", F.explode(off_col))
-               .withColumn("_tr", trow + F.col("_o.di"))
-               .withColumn("_tc", tcol + F.col("_o.dj"))
-               .filter((F.col("_tr") >= 0) & (F.col("_tr") < ntr)
-                       & (F.col("_tc") >= 0) & (F.col("_tc") < ntc))
-               .withColumn("out_tile",
-                           F.col("_tr").cast("long") * F.lit(1 << 32)
-                           + F.col("_tc"))
-               .drop("_o", "_tr", "_tc"))
+    # r3: SUPERBLOCK grouping (sb_tiles x sb_tiles tiles per task) replaces
+    # the per-tile 9x halo fan-out: only tiles within the halo of a
+    # superblock border fan out (~1 + 4*halo/sb_px per tile), so the input
+    # shuffle carries the raster ~1.1x instead of 9x — the stage's cost is
+    # then its unavoidable output planes, which serialize per-worker.
+    # sb_tiles=2 (512 px superblocks, ~12 MB output per group) measured
+    # fastest at local[32]: 2x the per-tile fan-out version; sb_tiles=4
+    # forms 50 MB groups (memory pressure + last-wave imbalance).
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sbs(row0: pd.Series, col0: pd.Series, h: pd.Series, w: pd.Series
+             ) -> pd.Series:
+        out = []
+        for r0, c0, hh, ww in zip(row0.to_numpy(), col0.to_numpy(),
+                                  h.to_numpy(), w.to_numpy()):
+            r_lo = max(0, (int(r0) - ph)) // sb_px
+            r_hi = min(height - 1, int(r0) + int(hh) - 1 + ph) // sb_px
+            c_lo = max(0, (int(c0) - pw)) // sb_px
+            c_hi = min(width - 1, int(c0) + int(ww) - 1 + pw) // sb_px
+            out.append([sr * (1 << 32) + sc
+                        for sr in range(r_lo, min(r_hi, nsr - 1) + 1)
+                        for sc in range(c_lo, min(c_hi, nsc - 1) + 1)])
+        return pd.Series(out)
+
+    contrib = tiles.withColumn(
+        "sb", F.explode(_sbs(F.col("row0"), F.col("col0"),
+                             F.col("h"), F.col("w"))))
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        out_tile = int(key[0])
-        otr, otc = out_tile >> 32, out_tile & 0xFFFFFFFF
-        r0 = otr * tile_px
-        c0 = otc * tile_px
-        h = min(tile_px, height - r0)
-        w = min(tile_px, width - c0)
-        win = np.full((h + 2 * ph, w + 2 * pw), np.nan)
+        sb = int(key[0])
+        sbr, sbc = sb >> 32, sb & 0xFFFFFFFF
+        r0 = sbr * sb_px
+        c0 = sbc * sb_px
+        sb_h = min(sb_px, height - r0)
+        sb_w = min(sb_px, width - c0)
+        win = np.full((sb_h + 2 * ph, sb_w + 2 * pw), np.nan)
         wr0, wc0 = r0 - ph, c0 - pw
         for t in pdf.itertuples():
             arr = np.asarray(t.data).reshape(t.h, t.w)
@@ -249,14 +266,13 @@ def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
         pv = np.cumsum(valid, axis=1)
         pf = np.concatenate([np.zeros((pf.shape[0], 1)), pf], axis=1)
         pv = np.concatenate([np.zeros((pv.shape[0], 1)), pv], axis=1)
-        row = {"tile_id": tile_id_of(otr, otc), "row0": r0, "col0": c0,
-               "h": h, "w": w}
+        planes = {}
         for name, kern in bc_kernels.value.items():
             kh, kw = kern.shape
             hh, hw = kh // 2, kw // 2
             fr0, fc0 = ph - hh, pw - hw
-            s = np.zeros((h, w))
-            c = np.zeros((h, w))
+            s = np.zeros((sb_h, sb_w))
+            c = np.zeros((sb_h, sb_w))
             for di in range(kh):
                 nz = np.flatnonzero(kern[di])
                 if not len(nz):
@@ -265,13 +281,30 @@ def convolve_sum_count_tiles(tiles: DataFrame, kernels: dict,
                 assert (kern[di, lo:hi + 1] != 0).all(), \
                     "chord decomposition requires row-convex kernels"
                 r_ = fr0 + di
-                s += (pf[r_:r_ + h, fc0 + hi + 1:fc0 + hi + 1 + w]
-                      - pf[r_:r_ + h, fc0 + lo:fc0 + lo + w])
-                c += (pv[r_:r_ + h, fc0 + hi + 1:fc0 + hi + 1 + w]
-                      - pv[r_:r_ + h, fc0 + lo:fc0 + lo + w])
-            row[f"s_{name}"] = s.ravel()
-            row[f"c_{name}"] = c.ravel().astype(np.int64)
-        return pd.DataFrame([row])
+                s += (pf[r_:r_ + sb_h, fc0 + hi + 1:fc0 + hi + 1 + sb_w]
+                      - pf[r_:r_ + sb_h, fc0 + lo:fc0 + lo + sb_w])
+                c += (pv[r_:r_ + sb_h, fc0 + hi + 1:fc0 + hi + 1 + sb_w]
+                      - pv[r_:r_ + sb_h, fc0 + lo:fc0 + lo + sb_w])
+            planes[name] = (s, c)
+        rows = []
+        for tr in range(sbr * sb_tiles,
+                        min((sbr + 1) * sb_tiles,
+                            (height + tile_px - 1) // tile_px)):
+            for tc in range(sbc * sb_tiles,
+                            min((sbc + 1) * sb_tiles,
+                                (width + tile_px - 1) // tile_px)):
+                tr0, tc0 = tr * tile_px, tc * tile_px
+                th = min(tile_px, height - tr0)
+                tw = min(tile_px, width - tc0)
+                lr, lc = tr0 - r0, tc0 - c0
+                row = {"tile_id": tile_id_of(tr, tc), "row0": tr0,
+                       "col0": tc0, "h": th, "w": tw}
+                for name, (s, c) in planes.items():
+                    row[f"s_{name}"] = s[lr:lr + th, lc:lc + tw].ravel()
+                    row[f"c_{name}"] = c[lr:lr + th, lc:lc + tw].ravel() \
+                        .astype(np.int64)
+                rows.append(row)
+        return pd.DataFrame(rows)
 
-    return (contrib.groupBy("out_tile")
+    return (contrib.groupBy("sb")
             .applyInPandas(_assemble, out_schema))

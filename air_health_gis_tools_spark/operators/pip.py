@@ -38,32 +38,36 @@ def polygon_cover_cells(polys: DataFrame, cell_m: int = CELL_M_DEFAULT,
     (The rasterize-vector analogue of the reference's
     ``arcpy.conversion.PolygonToRaster``, 1-Burnt Area ArcGIS - 25km.py:30 —
     polygon → covering-cell set as an equi-join key.)
-    """
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
-        cxs = cx.to_numpy().astype(np.int64)
-        cys = cy.to_numpy().astype(np.int64)
-        rs = r.to_numpy().astype(np.int64)
-        out = []
-        for x0, y0, rr in zip(cxs, cys, rs):
-            ci_lo = (x0 - rr) // cell_m
-            ci_hi = (x0 + rr) // cell_m
-            cj_lo = (y0 - rr) // cell_m
-            cj_hi = (y0 + rr) // cell_m
-            ii = np.arange(ci_lo, ci_hi + 1, dtype=np.int64)
-            jj = np.arange(cj_lo, cj_hi + 1, dtype=np.int64)
-            out.append((ii[:, None] * (1 << 32) + jj[None, :]).ravel())
-        return pd.Series(out)
 
-    return polys.withColumn(
-        "cell", F.explode(_cover(F.col(cx_col), F.col(cy_col), F.col(r_col))))
+    Pure Catalyst (r3): ``sequence``+``explode`` replaces the r2 Arrow
+    kernel — the dim prep no longer pays a Python-worker round-trip inside
+    every job that builds the broadcast (and stays in whole-stage
+    codegen). Floor division via the pmod form so negative frames keep
+    numpy-floor semantics.
+    """
+    def fdiv(e: str, d: int) -> str:
+        return f"(({e}) - pmod({e}, {d})) DIV {d}"
+
+    ci = fdiv(f"{cx_col} - {r_col}", cell_m), fdiv(f"{cx_col} + {r_col}",
+                                                   cell_m)
+    cj = fdiv(f"{cy_col} - {r_col}", cell_m), fdiv(f"{cy_col} + {r_col}",
+                                                   cell_m)
+    return (polys
+            .withColumn("_ci", F.explode(F.expr(
+                f"sequence({ci[0]}, {ci[1]})")))
+            .withColumn("_cj", F.explode(F.expr(
+                f"sequence({cj[0]}, {cj[1]})")))
+            .withColumn("cell",
+                        F.col("_ci") * F.lit(1 << 32) + F.col("_cj"))
+            .drop("_ci", "_cj"))
 
 
 def pip_circle_counts(points: DataFrame, polys: DataFrame,
                       group_cols: list[str] | None = None,
                       cell_m: int = CELL_M_DEFAULT,
                       x_col: str = "x", y_col: str = "y",
-                      poly_id_col: str = "poly_id") -> DataFrame:
+                      poly_id_col: str = "poly_id",
+                      strategy: str = "auto") -> DataFrame:
     """Count points inside each circular polygon (per optional group cols).
 
     Exact semantics: dx² + dy² ≤ r² (integer). Returns
@@ -71,8 +75,24 @@ def pip_circle_counts(points: DataFrame, polys: DataFrame,
     (the reference's rowSums yields 0 counts too, Active Fires.R:33-35) —
     zero-fill is per polygon (cross of observed group values) only when
     group_cols is empty; grouped variants return observed combinations.
+
+    ``strategy``: 'auto'/'join' use the cell-explode broadcast join (the
+    measured winner at every scale — whole-stage codegen, no Arrow
+    transfer); 'kernel' uses ``pip_circle_counts_np`` (CSR cell grid +
+    map-side partial counts inside the Arrow kernel, r3) — equivalent
+    results, kept for Python-side fusion scenarios.
     """
     group_cols = group_cols or []
+    if not group_cols and strategy == "kernel":
+        # measured r3: the JVM codegen broadcast join beats the Arrow
+        # kernel at every scale on this box (the Arrow x/y transfer alone
+        # costs more than the whole join) — so 'auto' stays on the join;
+        # the CSR map-side-partial kernel remains available (and
+        # equivalence-tested) for environments where Python-side fusion
+        # with other kernels amortizes the transfer
+        return pip_circle_counts_np(points, polys, cell_m=cell_m,
+                                    x_col=x_col, y_col=y_col,
+                                    poly_id_col=poly_id_col)
     covered = polygon_cover_cells(polys, cell_m)
     pts = points.withColumn(
         "cell",
@@ -93,6 +113,81 @@ def pip_circle_counts(points: DataFrame, polys: DataFrame,
             .join(hits, poly_id_col, "left")
             .select(poly_id_col,
                     F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points")))
+
+
+def pip_circle_counts_np(points: DataFrame, polys: DataFrame,
+                         cell_m: int = CELL_M_DEFAULT,
+                         x_col: str = "x", y_col: str = "y",
+                         poly_id_col: str = "poly_id") -> DataFrame:
+    """Map-side-partial PIP for SMALL polygon dims (r3, VERDICT scaling
+    item): the cell-explode join materializes points × covering-polygon
+    candidate rows just to count them — here the SAME cell pruning runs
+    inside the Arrow kernel as a broadcast CSR grid (cell → covering poly
+    indices), fully vectorized (cell gather → repeat-expand the nonzero
+    candidates → one distance test per candidate pair →
+    ``np.add.at`` partial counts). A partition ships exactly |polys|
+    partial rows; the final combine sums ~partitions × |polys| tiny rows.
+    Per-core work is a pure integer sweep — the shape that gives the zonal
+    kernel its 0.97 scaling efficiency. Results are bit-identical to the
+    join plan (same integer predicate); equivalence is pinned in tests."""
+    rows = polys.select(poly_id_col, "cx", "cy", "r").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    cxs = np.array([r[1] for r in rows], dtype=np.int64)
+    cys = np.array([r[2] for r in rows], dtype=np.int64)
+    rr = np.array([r[3] for r in rows], dtype=np.int64)
+    r2 = rr ** 2
+    # CSR cell grid over the polygon bboxes (driver-side; |polys| is small
+    # by the strategy gate). Cells outside the grid contain no polygons.
+    ci_lo = (cxs - rr) // cell_m
+    ci_hi = (cxs + rr) // cell_m
+    cj_lo = (cys - rr) // cell_m
+    cj_hi = (cys + rr) // cell_m
+    gi0, gi1 = int(ci_lo.min()), int(ci_hi.max())
+    gj0, gj1 = int(cj_lo.min()), int(cj_hi.max())
+    nci, ncj = gi1 - gi0 + 1, gj1 - gj0 + 1
+    cell_lists: list[list[int]] = [[] for _ in range(nci * ncj)]
+    for p in range(len(ids)):
+        for ci in range(int(ci_lo[p]), int(ci_hi[p]) + 1):
+            for cj in range(int(cj_lo[p]), int(cj_hi[p]) + 1):
+                cell_lists[(ci - gi0) * ncj + (cj - gj0)].append(p)
+    counts = np.array([len(c) for c in cell_lists], dtype=np.int64)
+    cell_start = np.concatenate([[0], np.cumsum(counts)])
+    flat_polys = np.array([p for c in cell_lists for p in c],
+                          dtype=np.int64)
+
+    def _partials(batches):
+        acc = np.zeros(len(ids), dtype=np.int64)
+        for pdf in batches:
+            xs = pdf[x_col].to_numpy().astype(np.int64)
+            ys = pdf[y_col].to_numpy().astype(np.int64)
+            ci = xs // cell_m - gi0
+            cj = ys // cell_m - gj0
+            inb = (ci >= 0) & (ci < nci) & (cj >= 0) & (cj < ncj)
+            cell = np.where(inb, ci * ncj + cj, 0)
+            k = np.where(inb, counts[cell], 0)
+            nz = np.flatnonzero(k)
+            if not len(nz):
+                continue
+            # expand candidates: one row per (point, covering-poly) pair
+            reps = k[nz]
+            px = np.repeat(xs[nz], reps)
+            py = np.repeat(ys[nz], reps)
+            starts = cell_start[cell[nz]]
+            # flat indices: start_i + 0..reps_i-1 for each point i
+            offs = np.arange(reps.sum(), dtype=np.int64) \
+                - np.repeat(np.cumsum(reps) - reps, reps)
+            pi = flat_polys[np.repeat(starts, reps) + offs]
+            dx = px - cxs[pi]
+            dy = py - cys[pi]
+            inside = (dx * dx + dy * dy) <= r2[pi]
+            np.add.at(acc, pi[inside], 1)
+        # one partial row per polygon per partition (zeros included → the
+        # final sum also zero-fills empty polygons)
+        yield pd.DataFrame({poly_id_col: ids, "pc": acc})
+
+    part = points.select(x_col, y_col).mapInPandas(
+        _partials, f"{poly_id_col} long, pc long")
+    return part.groupBy(poly_id_col).agg(F.sum("pc").alias("n_points"))
 
 
 def radius_count(points: DataFrame, targets: DataFrame, radius_m: int,

@@ -533,37 +533,102 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
                                id_col: str = "doc_id",
                                x_col: str = "x", y_col: str = "y",
                                height: int = RASTER_H, width: int = RASTER_W,
-                               xres: int = XRES) -> DataFrame:
+                               xres: int = XRES,
+                               sb_tiles: int = 4,
+                               hot_group_rows: int = 262_144,
+                               max_salt: int = 32) -> DataFrame:
     """Third physical strategy — the reference's Method 1 ('convolve once,
     gather many', extract_raster_buffer.py:220-245), distributed.
 
-    When points ≫ pixels, every pixel's buffer sum is reused by many
-    points, so precompute per-pixel (nansum, valid-count) planes for every
-    buffer radius in ONE halo convolution pass
-    (convolve.convolve_sum_count_tiles), then each point is a single-pixel
-    gather: mean_b = s_b/c_b — exactly A1's sum/valid-count semantics,
-    bit-identical to the kernel strategies (integer-valued sums). min/max
-    are not convolution-expressible; this strategy emits mean + n_valid
-    (the reference's Method 1 computes only the focal mean too).
+    r3 plan (replaces the two-stage convolve-planes-then-gather): ONE
+    cogroup on SUPERBLOCK keys (``sb_tiles``×``sb_tiles`` tiles per task)
+    fuses convolution and gather. Each task assembles its superblock
+    window + rmax halo, takes one row-prefix-sum pass, and evaluates every
+    point's buffer sums directly from the prefix table via chord
+    subtraction (2r+1 ops per point per buffer). Identical A1 semantics
+    (sum/valid-count, NaN outside coverage); exact for integer-valued
+    rasters (prefix sums < 2^53 — the chord-decomposition invariant
+    documented in convolve.py).
 
-    Cost: raster moves ≤ 9× tile fan-out once, points shuffle once (tile
-    cogroup) — independent of the number of points per pixel.
+    Why this shape survives 100 TB: the r2 plan shuffled the raster 9×
+    (full halo fan-out), materialized 6 result planes per tile (48 B/px)
+    and shuffled THEM again into the gather cogroup — ~25 GB of movement
+    per 201 M px. Here tiles move ~(1 + 4·rmax/sb_px)× ≈ 1.1×, points
+    shuffle once, and only per-point rows leave the task; per-task compute
+    is one cumsum of the superblock (cache-resident) plus O(points·r)
+    gathers. min/max are not convolution-expressible; like the reference's
+    Method 1 this strategy emits mean + n_valid.
     """
-    from .convolve import convolve_sum_count_tiles
     buffers_m = list(buffers_m)
-    kernels = {}
+    rmax = max(_radius_px_at(b, xres) for b in buffers_m)
+    sb_px = sb_tiles * tile_px
+    assert rmax <= sb_px, "halo larger than superblock"
+    nsr = (height + sb_px - 1) // sb_px
+    nsc = (width + sb_px - 1) // sb_px
+
+    # chord tables per buffer: kernel row di in 0..2r -> [lo, hi] columns
+    chords = {}
     for b in buffers_m:
         rpx = _radius_px_at(b, xres)
-        rng = np.arange(-rpx, rpx + 1, dtype=np.int64)
-        dr, dc = np.meshgrid(rng, rng, indexing="ij")
-        kernels[str(b)] = (dr * dr + dc * dc <= rpx * rpx).astype(np.float64)
-    conv = convolve_sum_count_tiles(tiles, kernels, tile_px, height, width)
+        dr = np.arange(-rpx, rpx + 1, dtype=np.int64)
+        half = np.floor(np.sqrt((rpx * rpx - dr * dr).astype(np.float64))
+                        ).astype(np.int64)
+        chords[b] = (rpx, rpx - half, rpx + half)   # (rpx, lo[di], hi[di])
+
+    # tile -> superblock keys its (rmax-padded) extent touches (edge tiles
+    # fan out to <= 4 superblocks; interior tiles to exactly 1)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sbs(row0: pd.Series, col0: pd.Series, h: pd.Series, w: pd.Series
+             ) -> pd.Series:
+        out = []
+        for r0, c0, hh, ww in zip(row0.to_numpy(), col0.to_numpy(),
+                                  h.to_numpy(), w.to_numpy()):
+            r_lo = max(0, (int(r0) - rmax)) // sb_px
+            r_hi = min(height - 1, int(r0) + int(hh) - 1 + rmax) // sb_px
+            c_lo = max(0, (int(c0) - rmax)) // sb_px
+            c_hi = min(width - 1, int(c0) + int(ww) - 1 + rmax) // sb_px
+            out.append([sr * (1 << 32) + sc
+                        for sr in range(r_lo, min(r_hi, nsr - 1) + 1)
+                        for sc in range(c_lo, min(c_hi, nsc - 1) + 1)])
+        return pd.Series(out)
+
+    contrib = tiles.withColumn(
+        "sb", F.explode(_sbs(F.col("row0"), F.col("col0"),
+                             F.col("h"), F.col("w"))))
 
     pts = points.select(id_col, x_col, y_col).withColumn(
-        "tile_id",
-        ((F.col(y_col) / xres).cast("long") / tile_px).cast("long")
+        "sb",
+        ((F.col(y_col) / xres).cast("long") / sb_px).cast("long")
         * F.lit(1 << 32)
-        + ((F.col(x_col) / xres).cast("long") / tile_px).cast("long"))
+        + ((F.col(x_col) / xres).cast("long") / sb_px).cast("long"))
+
+    # adaptive salting, same machinery as buffered_stats_tiled: urban
+    # clusters pile millions of points into one superblock group — the
+    # 4N-leg straggler. Hot superblocks split into salt groups (points by
+    # id hash; the superblock's TILES — the small side — replicate into
+    # each salt). Cold superblocks pay nothing. Output unchanged: each
+    # salt group assembles the same window and serves disjoint points.
+    hot = (pts.groupBy("sb").count()
+           .filter(F.col("count") > hot_group_rows)
+           .select("sb",
+                   F.least(F.ceil(F.col("count") / hot_group_rows),
+                           F.lit(max_salt)).cast("long").alias("salt_k")))
+    pts = (pts.join(F.broadcast(hot), "sb", "left")
+           .withColumn("_k", F.coalesce(F.col("salt_k"), F.lit(1)))
+           .withColumn(
+               "gkey",
+               F.col("sb") * 64
+               + F.pmod(F.pmod(F.col(id_col) * F.lit(2654435761),
+                               F.lit(1 << 31)), F.col("_k")))
+           .drop("salt_k", "_k"))
+    contrib = (contrib.join(F.broadcast(hot), "sb", "left")
+               .withColumn(
+                   "_salt",
+                   F.explode(F.sequence(
+                       F.lit(0).cast("long"),
+                       F.coalesce(F.col("salt_k"), F.lit(1)) - 1)))
+               .withColumn("gkey", F.col("sb") * 64 + F.col("_salt"))
+               .drop("salt_k", "_salt"))
 
     fields = [T.StructField(id_col, T.LongType())]
     for b in buffers_m:
@@ -571,35 +636,67 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
                    T.StructField(f"n_valid_{b}", T.LongType())]
     schema = T.StructType(fields)
 
-    def _gather(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
-                ) -> pd.DataFrame:
+    def _conv_gather(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
+                     ) -> pd.DataFrame:
         if pdf_points.empty:
             return pd.DataFrame({f.name: pd.Series(
                 dtype="int64" if f.name == id_col or f.name.startswith("n_")
                 else "float64") for f in schema.fields})
         ids = pdf_points[id_col].to_numpy()
         out = {id_col: ids}
-        if pdf_tiles.empty:
+        sb = int(key[0]) // 64
+        sbr, sbc = sb >> 32, sb & 0xFFFFFFFF
+        sb_h = min(sb_px, height - sbr * sb_px)
+        sb_w = min(sb_px, width - sbc * sb_px)
+        if sb_h <= 0 or sb_w <= 0 or pdf_tiles.empty:
+            # superblock entirely outside coverage: NaN stats, 0 counts
+            # (row parity with the other zonal strategies)
             for b in buffers_m:
                 out[f"mean_{b}"] = np.full(len(ids), np.nan)
                 out[f"n_valid_{b}"] = np.zeros(len(ids), dtype=np.int64)
             return pd.DataFrame(out)
-        t = pdf_tiles.iloc[0]
-        th, tw = int(t["h"]), int(t["w"])
-        rr = (pdf_points[y_col].to_numpy().astype(np.int64) // xres
-              - int(t["row0"]))
-        cc = (pdf_points[x_col].to_numpy().astype(np.int64) // xres
-              - int(t["col0"]))
+        wr0 = sbr * sb_px - rmax
+        wc0 = sbc * sb_px - rmax
+        win = np.full((sb_h + 2 * rmax, sb_w + 2 * rmax), np.nan)
+        for t in pdf_tiles.itertuples():
+            arr = np.asarray(t.data).reshape(t.h, t.w)
+            rr = int(t.row0) - wr0
+            cc = int(t.col0) - wc0
+            a0, a1 = max(0, -rr), min(int(t.h), win.shape[0] - rr)
+            b0, b1 = max(0, -cc), min(int(t.w), win.shape[1] - cc)
+            if a0 < a1 and b0 < b1:
+                win[rr + a0:rr + a1, cc + b0:cc + b1] = arr[a0:a1, b0:b1]
+        valid = ~np.isnan(win)
+        filled = np.where(valid, win, 0.0)
+        pf = np.concatenate(
+            [np.zeros((filled.shape[0], 1)),
+             np.cumsum(filled, axis=1)], axis=1)
+        pv = np.concatenate(
+            [np.zeros((valid.shape[0], 1), dtype=np.int64),
+             np.cumsum(valid, axis=1, dtype=np.int64)], axis=1)
+        pr = pdf_points[y_col].to_numpy().astype(np.int64) // xres
+        pc = pdf_points[x_col].to_numpy().astype(np.int64) // xres
+        # points whose own pixel is outside the raster extent return
+        # 0-count/NULL from this strategy (documented: Method 1 serves
+        # in-extent points; the kernel strategies clip partial circles) —
+        # masked here so chord indexing stays in-window for edge
+        # superblocks whose sb_h < sb_px
+        far = (pr < 0) | (pr >= height) | (pc < 0) | (pc >= width)
+        wr = np.where(far, rmax, pr - wr0)
+        wc = np.where(far, rmax, pc - wc0)
         for b in buffers_m:
-            s = np.asarray(t[f"s_{b}"], dtype=np.float64).reshape(th, tw)
-            c = np.asarray(t[f"c_{b}"], dtype=np.int64).reshape(th, tw)
-            cnt = c[rr, cc]
+            rpx, lo, hi = chords[b]
+            rows = wr[:, None] + np.arange(-rpx, rpx + 1)[None, :]
+            chi = wc[:, None] + (hi - rpx + 1)[None, :]
+            clo = wc[:, None] + (lo - rpx)[None, :]
+            s = (pf[rows, chi] - pf[rows, clo]).sum(axis=1)
+            cnt = (pv[rows, chi] - pv[rows, clo]).sum(axis=1)
+            cnt = np.where(far, 0, cnt)
             out[f"mean_{b}"] = np.where(cnt > 0,
-                                        s[rr, cc] / np.maximum(cnt, 1),
-                                        np.nan)
+                                        s / np.maximum(cnt, 1), np.nan)
             out[f"n_valid_{b}"] = cnt
         return pd.DataFrame(out)
 
-    return (pts.groupBy("tile_id")
-            .cogroup(conv.groupBy("tile_id"))
-            .applyInPandas(_gather, schema))
+    return (pts.groupBy("gkey")
+            .cogroup(contrib.groupBy("gkey"))
+            .applyInPandas(_conv_gather, schema))

@@ -27,6 +27,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+MAX_DISCOVERED_BUCKETS = 10_000
+
+
 class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
@@ -65,8 +68,20 @@ def run_stage(df: DataFrame, part_col: str, store: CheckpointStore,
     """
     spark = df.sparkSession
     if buckets is None:
-        buckets = [r[0] for r in
-                   df.select(part_col).distinct().orderBy(part_col).collect()]
+        # bucket discovery is a driver-side collect — bounded by an
+        # explicit cardinality cap so a caller passing a high-cardinality
+        # part_col fails fast instead of OOMing the driver (ADVICE r2 /
+        # VERDICT #7). Partitioned-directory writes beyond this are an
+        # anti-pattern regardless (small-files explosion).
+        probe = (df.select(part_col).distinct().orderBy(part_col)
+                 .limit(MAX_DISCOVERED_BUCKETS + 1).collect())
+        if len(probe) > MAX_DISCOVERED_BUCKETS:
+            raise ValueError(
+                f"run_stage: part_col {part_col!r} has more than "
+                f"{MAX_DISCOVERED_BUCKETS} distinct values; pass an "
+                "explicit bounded `buckets` list or bucketize first "
+                "(e.g. salted_bucket)")
+        buckets = [r[0] for r in probe]
     done = store.done_buckets()
     todo = [b for b in buckets if str(b) not in done]
     if todo:

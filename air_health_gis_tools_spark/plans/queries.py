@@ -1654,6 +1654,89 @@ def q51_geocode_crs_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_c.popdens").alias("popdens")))
 
 
+def q52_h3_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring neighborhood aggregation on the icosahedral H3 grid (the
+    north_star's 'cell-ring expansion' surface as an analytic op): per
+    res-5 cell, own doc count + the disk(1)-smoothed count. Plan: count per
+    cell (partial/final agg) → explode each distinct cell to its grid_disk
+    members (Arrow kernel, one call per DISTINCT cell — cell cardinality
+    is a property of the geography, not the row count) → hash join counts
+    back on the member cell → final sum. Golden oracle replays the same
+    kernels driver-side."""
+    from ..functions.h3 import grid_disk, h3_cell_udf
+    pts = docs_xy(spark, sf_dir)
+    cells = pts.select(
+        h3_cell_udf(5)(F.col("x"), F.col("y")).alias("cell_h3_5"))
+    counts = cells.groupBy("cell_h3_5").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+    @F.pandas_udf("array<long>")
+    def _disk1(c: pd.Series) -> pd.Series:
+        arr = c.to_numpy()
+        uniq = {int(v): [int(x) for x in grid_disk(int(v), 1)]
+                for v in np.unique(arr)}
+        return pd.Series([uniq[int(v)] for v in arr])
+
+    edges = (counts.select("cell_h3_5",
+                           F.explode(_disk1(F.col("cell_h3_5")))
+                           .alias("member")))
+    nb = counts.select(F.col("cell_h3_5").alias("member"),
+                       F.col("n_docs").alias("m_docs"))
+    ring = (edges.join(nb, "member")
+            .groupBy("cell_h3_5").agg(F.sum("m_docs").alias("n_ring")))
+    return counts.join(ring, "cell_h3_5")
+
+
+def q53_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline composition, one declarative plan end-to-end
+    (the everyday shape of a 100 TB curation job): exact dedup keep-first
+    (md5 groupBy) → token count + quality score → quality-rule filter →
+    language heuristic → per-(lang, lang_guess) corpus stats. Pure
+    Catalyst; the oracle is the same chain in ANSI SQL."""
+    d = _docs(spark, sf_dir)
+    keep = (d.groupBy(F.md5(F.col("text")).alias("dig"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    dd = d.join(keep.select("doc_id"), "doc_id")
+    scored = (dd.withColumn("tokens", F.size(F.split(F.col("text"), " ")))
+              .withColumn("quality",
+                          F.col("n_chars").cast("double")
+                          / F.col("tokens").cast("double"))
+              .filter((F.col("tokens") >= 5) & (F.col("quality") <= 8.0)))
+    scored = scored.withColumn("t", F.expr("' ' || text || ' '"))
+    for lang in sorted(_LANG_MARKERS_SQL):
+        scored = scored.withColumn(f"s_{lang}",
+                                   F.expr(_lang_score_sql(lang)))
+    scored = scored.withColumn("lang_guess", F.expr(_lang_winner_sql()))
+    return (scored.groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tokens").alias("total_tokens"),
+                 F.min("quality").alias("min_quality"),
+                 F.max("quality").alias("max_quality")))
+
+
+def q53_sql() -> str:
+    langs = sorted(_LANG_MARKERS_SQL)
+    scores = ",\n  ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in langs)
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+scored AS (
+  SELECT lang, ' ' || text || ' ' AS t,
+         len(string_split(text, ' ')) AS tokens,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS quality
+  FROM dd
+  WHERE len(string_split(text, ' ')) >= 5
+    AND CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) <= 8.0),
+lng AS (SELECT lang, tokens, quality, {scores} FROM scored)
+SELECT lang, {_lang_winner_sql()} AS lang_guess,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality
+FROM lng GROUP BY 1, 2
+"""
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1717,6 +1800,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_h3_cells": q49_h3_cells,
     "q50_two_crs_focal": q50_two_crs_focal,
     "q51_geocode_crs_pixel": q51_geocode_crs_pixel,
+    "q52_h3_kring_smooth": q52_h3_kring_smooth,
+    "q53_training_pipeline": q53_training_pipeline,
 }
 
 # --------------------------------------------------------------------------
@@ -1791,4 +1876,6 @@ ORACLES: dict[str, str] = {
     "q49_h3_cells": _golden_sql("q49_h3_cells"),
     "q50_two_crs_focal": _golden_sql("q50_two_crs_focal"),
     "q51_geocode_crs_pixel": _golden_sql("q51_geocode_crs_pixel"),
+    "q52_h3_kring_smooth": _golden_sql("q52_h3_kring_smooth"),
+    "q53_training_pipeline": q53_sql(),
 }

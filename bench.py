@@ -104,6 +104,9 @@ def main():
     n_polys = int(os.environ.get("SPARK_GRAFT_PIP_POLYS", "500"))
     run("q07_pip_600k", lambda: pip_circle_counts(
         pts, Q.polys_df(spark, n_polys)).collect())
+    if only is not None:   # scaling-evidence comparison row only
+        run("q07_pip_kernel_600k", lambda: pip_circle_counts(
+            pts, Q.polys_df(spark, n_polys), strategy="kernel").collect())
     run("q09_radius_600k", lambda: radius_count_np(
         pts, (mxs, mys), 25_000)
         .select(F.sum("n_in_radius")).collect())
@@ -136,6 +139,43 @@ def main():
             lambda: buffered_mean_convolve_all(
                 pts, tiles, list(G.BUFFERS_M), 256)
             .select(F.sum("n_valid_10000")).collect())
+    big_keys = {"q33_convolve_stage_big", "q01_zonal_convolve_all_big"}
+    if only is not None and (big_keys & only):
+        # VERDICT r2 scaling-evidence gap: the Method-1 machinery on a
+        # raster with 12x the tiles (16384x12288 px → 3072 tiles of 256)
+        # — the task-rich 100 TB regime.
+        BH, BW = 12288, 16384
+        tiles_big = synthetic_tile_table(spark, tile_px=256,
+                                         height=BH, width=BW).cache()
+        tiles_big.count()
+        if "q33_convolve_stage_big" in only:
+            # the CONVOLUTION STAGE in isolation (plane-materializing
+            # convolve_sum_count_tiles — used when the focal raster is
+            # the product): the fixed whole-raster stage whose
+            # parallelization the planner's crossover note asserts
+            from air_health_gis_tools_spark.operators.convolve import \
+                convolve_sum_count_tiles
+            from air_health_gis_tools_spark.operators.zonal import radius_px
+            kerns = {}
+            for b in G.BUFFERS_M:
+                rpx = radius_px(b)
+                rng_ = np.arange(-rpx, rpx + 1)
+                kr, kc = np.meshgrid(rng_, rng_, indexing="ij")
+                kerns[str(b)] = (kr * kr + kc * kc
+                                 <= rpx * rpx).astype(float)
+            run("q33_convolve_stage_big",
+                lambda: convolve_sum_count_tiles(
+                    tiles_big, kerns, 256, height=BH, width=BW)
+                .select(F.sum(F.element_at("s_10000", 1))).collect())
+        if "q01_zonal_convolve_all_big" in only:
+            # the FUSED end-to-end Method-1 op (superblock cogroup)
+            from air_health_gis_tools_spark.operators.zonal import \
+                buffered_mean_convolve_all
+            run("q01_zonal_convolve_all_big",
+                lambda: buffered_mean_convolve_all(
+                    pts, tiles_big, list(G.BUFFERS_M), 256,
+                    height=BH, width=BW)
+                .select(F.sum("n_valid_10000")).collect())
     # rollup in its AT-SCALE regime: cell cardinality is a property of the
     # geography (fixed ~9M res-7 cells), not of the row count — so the
     # scaling multiplier amplifies rows per location, and the map-side

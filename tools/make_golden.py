@@ -357,6 +357,28 @@ def golden_q51() -> pd.DataFrame:
                          "popdens": v})
 
 
+def golden_q52() -> pd.DataFrame:
+    """H3 k-ring smoothing driver-side: same kernels, pandas groupby."""
+    from air_health_gis_tools_spark import geo_synth as G
+    from air_health_gis_tools_spark.functions.h3 import (grid_disk,
+                                                         latlng_to_cell)
+    from air_health_gis_tools_spark.functions.s2 import planar_to_latlng
+    d = _docs_pdf()
+    ids = d["doc_id"].to_numpy(np.int64)
+    x, y = G.point_xy_np(ids)
+    lat, lng = planar_to_latlng(x, y)
+    cells = latlng_to_cell(lat, lng, 5)
+    uniq, counts = np.unique(cells, return_counts=True)
+    cmap = dict(zip((int(u) for u in uniq), (int(c) for c in counts)))
+    rows = []
+    for u in uniq:
+        ring = sum(cmap.get(int(m), 0) for m in grid_disk(int(u), 1))
+        rows.append((int(u), cmap[int(u)], ring))
+    return pd.DataFrame(rows,
+                        columns=["cell_h3_5", "n_docs", "n_ring"]).astype(
+        {"cell_h3_5": "int64", "n_docs": "int64", "n_ring": "int64"})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -368,6 +390,7 @@ ALL = {
     "q49_h3_cells": golden_q49,
     "q50_two_crs_focal": golden_q50,
     "q51_geocode_crs_pixel": golden_q51,
+    "q52_h3_kring_smooth": golden_q52,
 }
 
 
