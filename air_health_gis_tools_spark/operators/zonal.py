@@ -684,13 +684,37 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
         far = (pr < 0) | (pr >= height) | (pc < 0) | (pc >= width)
         wr = np.where(far, rmax, pr - wr0)
         wc = np.where(far, rmax, pc - wc0)
+        # Chunked + row-sorted gather. The whole-batch form materialized
+        # (n_points × (2r+1)) index/value temporaries — ~400 MB per buffer
+        # at 260k-point groups — and its thread-scaling was memory-bus
+        # bound (~0.5 eff N→4N). Sorting by window row makes consecutive
+        # points hit overlapping prefix-table rows; 2048-point chunks keep
+        # every chord temporary L2-resident (same constant as _CHUNK).
+        n = len(ids)
+        order = np.argsort(wr * (sb_w + 2 * rmax + 1) + wc, kind="stable")
+        wr_s, wc_s = wr[order], wc[order]
+        aranges = {b: np.arange(-chords[b][0], chords[b][0] + 1)
+                   for b in buffers_m}
+        res = {b: (np.empty(n), np.empty(n, dtype=np.int64))
+               for b in buffers_m}
+        CH = 2048
+        for i0 in range(0, n, CH):
+            sl = slice(i0, min(i0 + CH, n))
+            wrc = wr_s[sl][:, None]
+            wcc = wc_s[sl][:, None]
+            for b in buffers_m:
+                rpx, lo, hi = chords[b]
+                rows = wrc + aranges[b][None, :]
+                s = (pf[rows, wcc + (hi - rpx + 1)[None, :]]
+                     - pf[rows, wcc + (lo - rpx)[None, :]]).sum(axis=1)
+                cnt = (pv[rows, wcc + (hi - rpx + 1)[None, :]]
+                       - pv[rows, wcc + (lo - rpx)[None, :]]).sum(axis=1)
+                res[b][0][sl] = s
+                res[b][1][sl] = cnt
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
         for b in buffers_m:
-            rpx, lo, hi = chords[b]
-            rows = wr[:, None] + np.arange(-rpx, rpx + 1)[None, :]
-            chi = wc[:, None] + (hi - rpx + 1)[None, :]
-            clo = wc[:, None] + (lo - rpx)[None, :]
-            s = (pf[rows, chi] - pf[rows, clo]).sum(axis=1)
-            cnt = (pv[rows, chi] - pv[rows, clo]).sum(axis=1)
+            s, cnt = res[b][0][inv], res[b][1][inv]
             cnt = np.where(far, 0, cnt)
             out[f"mean_{b}"] = np.where(cnt > 0,
                                         s / np.maximum(cnt, 1), np.nan)

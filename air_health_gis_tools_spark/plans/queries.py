@@ -1737,6 +1737,31 @@ FROM lng GROUP BY 1, 2
 """
 
 
+N_PAGES_Q54 = 4096  # pages fixture rows (sf-independent; golden-pinned)
+
+
+def q54_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's webtext invariant as a first-class operator:
+    HTML → text extraction (functions/html_text.py — regex tokenizer,
+    WHATWG entity decode, block-tag separators, whitespace normalization)
+    over the Common-Crawl-style pages fixture, asserting *byte-identical
+    extracted text per url* against the fixture's own text column. The
+    golden oracle re-extracts with a stdlib ``html.parser``-based
+    implementation (a different tokenizer algorithm), so the hash match
+    checks the extractor itself, not just the plumbing."""
+    from ..functions.html_text import html_to_text_udf
+    from ..sources.pages import page_id_expr_sql, synthetic_pages
+    pages = synthetic_pages(spark, N_PAGES_Q54)
+    ext = pages.withColumn("extracted", html_to_text_udf(F.col("html")))
+    return ext.select(
+        F.expr(page_id_expr_sql("spark")).alias("page_id"),
+        "url",
+        "extracted",
+        (F.col("extracted") == F.col("text")).cast("int")
+        .alias("byte_identical"),
+        F.length("extracted").alias("n_chars"))
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1802,6 +1827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_geocode_crs_pixel": q51_geocode_crs_pixel,
     "q52_h3_kring_smooth": q52_h3_kring_smooth,
     "q53_training_pipeline": q53_training_pipeline,
+    "q54_html_extract": q54_html_extract,
 }
 
 # --------------------------------------------------------------------------
@@ -1878,4 +1904,5 @@ ORACLES: dict[str, str] = {
     "q51_geocode_crs_pixel": _golden_sql("q51_geocode_crs_pixel"),
     "q52_h3_kring_smooth": _golden_sql("q52_h3_kring_smooth"),
     "q53_training_pipeline": q53_sql(),
+    "q54_html_extract": _golden_sql("q54_html_extract"),
 }

@@ -379,6 +379,74 @@ def golden_q52() -> pd.DataFrame:
         {"cell_h3_5": "int64", "n_docs": "int64", "n_ring": "int64"})
 
 
+class _StdlibExtractor:
+    """HTML→text per the functions/html_text.py contract, implemented on
+    stdlib ``html.parser.HTMLParser`` (event-driven tokenizer — a different
+    algorithm from the engine's regex scanner; ``convert_charrefs=True``
+    gives per-text-node WHATWG entity decoding, matching contract rule 4)."""
+
+    def extract(self, doc: str) -> str:
+        import re
+        from html.parser import HTMLParser
+        from air_health_gis_tools_spark.functions.html_text import BLOCK_TAGS
+
+        parts: list[str] = []
+        raw_depth = 0          # inside script/style/template: drop content
+
+        class _P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                nonlocal raw_depth
+                if tag in ("script", "style", "template"):
+                    raw_depth += 1
+                if tag in BLOCK_TAGS:
+                    parts.append("\n")
+
+            def handle_endtag(self, tag):
+                nonlocal raw_depth
+                if tag in ("script", "style", "template"):
+                    raw_depth = max(0, raw_depth - 1)
+                if tag in BLOCK_TAGS:
+                    parts.append("\n")
+
+            def handle_startendtag(self, tag, attrs):
+                if tag in BLOCK_TAGS:
+                    parts.append("\n")
+
+            def handle_data(self, data):
+                if not raw_depth:
+                    parts.append(data)
+
+        p = _P(convert_charrefs=True)
+        p.feed(doc)
+        p.close()
+        joined = "".join(parts)
+        return re.sub(r"[ \t\r\n\f\v]+",
+                      lambda m: "\n" if "\n" in m.group(0) else " ",
+                      joined).strip(" \t\r\n\f\v")
+
+
+def golden_q54() -> pd.DataFrame:
+    """Pages-fixture extraction replayed with the stdlib-HTMLParser
+    implementation — validates the engine's regex tokenizer byte-for-byte
+    (both against each other and against the fixture's text column)."""
+    from air_health_gis_tools_spark.plans.queries import N_PAGES_Q54
+    from air_health_gis_tools_spark.sources.pages import _gen_pages
+    pdf = next(_gen_pages([pd.DataFrame(
+        {"id": np.arange(N_PAGES_Q54, dtype=np.int64)})]))
+    ex = _StdlibExtractor()
+    extracted = [ex.extract(h.decode("utf-8", "replace"))
+                 for h in pdf["html"]]
+    return pd.DataFrame({
+        "page_id": np.arange(N_PAGES_Q54, dtype=np.int64),
+        "url": pdf["url"],
+        "extracted": extracted,
+        "byte_identical": np.asarray(
+            [int(e == t) for e, t in zip(extracted, pdf["text"])],
+            dtype=np.int32),
+        "n_chars": np.asarray([len(e) for e in extracted], dtype=np.int32),
+    })
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -391,6 +459,7 @@ ALL = {
     "q50_two_crs_focal": golden_q50,
     "q51_geocode_crs_pixel": golden_q51,
     "q52_h3_kring_smooth": golden_q52,
+    "q54_html_extract": golden_q54,
 }
 
 
