@@ -1,20 +1,25 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (53
+``queries()`` exposes every implemented operator from SURVEY.md §2 (58
 queries in r3, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
-q50, the geocode→CRS→pixel chain q51 and the curation-pipeline q53);
+q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, and the
+webtext ingest surface: HTML→text extraction q54, WARC ingest q55, URL
+canonicalization q56, as-of join q57, repetition signals q58);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
-air_health_gis_tools_spark/geo_synth.py). Since r3 there are no rows-only
-queries left: the formerly `no_oracle` rows (q22-q24, q30, q31, q41,
-q44, q48 + the new q49-q52) are hash-verified against committed golden
+air_health_gis_tools_spark/geo_synth.py). There are no rows-only
+queries left: the non-SQL-expressible rows (q22-q24, q30, q31, q41,
+q44, q48-q52, q54, q55) are hash-verified against committed golden
 parquet tables under ``golden/``, computed independently by
 tools/make_golden.py (brute-force all-pairs for the banded simhash join,
 numpy ANN reimplementations at the pinned operating points, source-pixel
-features for the PNG decode path, and numpy zonal/gather over the
-reference's own binary fixtures — apg18e GeoTIFF, data/grids .rds — which
-DuckDB cannot read directly).
+features for the PNG decode path, numpy zonal/gather over the reference's
+own binary fixtures — apg18e GeoTIFF, data/grids .rds — which DuckDB
+cannot read directly, a stdlib-HTMLParser re-extraction for q54, and a
+generator-direct expected table for the WARC chain q55). q56's oracle
+CONSTRUCTS expected canonical URLs from doc_id; q57's oracle is DuckDB's
+native ASOF LEFT JOIN.
 """
 
 from __future__ import annotations

@@ -534,7 +534,7 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
                                x_col: str = "x", y_col: str = "y",
                                height: int = RASTER_H, width: int = RASTER_W,
                                xres: int = XRES,
-                               sb_tiles: int = 4,
+                               sb_tiles: int | None = None,
                                hot_group_rows: int = 262_144,
                                max_salt: int = 32) -> DataFrame:
     """Third physical strategy — the reference's Method 1 ('convolve once,
@@ -561,6 +561,19 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
     """
     buffers_m = list(buffers_m)
     rmax = max(_radius_px_at(b, xres) for b in buffers_m)
+    if sb_tiles is None:
+        # Adaptive superblock sizing — a DATA-dependent rule (never
+        # parallelism-dependent, so the same input yields the same plan at
+        # every cluster size): the smallest power-of-2 superblock that
+        # (a) contains the halo and (b) keeps the tile fan-out
+        # (1 + 2·rmax/sb_px)² ≤ 2 — i.e. the raster moves at most ~2×.
+        # Smaller superblocks mean MORE tasks (a 4096² raster gets 64
+        # groups instead of 16 — the difference between starving and
+        # saturating an 8-wide stage) at bounded shuffle cost.
+        sb_tiles = 1
+        while (sb_tiles * tile_px < rmax
+               or (1 + 2 * rmax / (sb_tiles * tile_px)) ** 2 > 2.0):
+            sb_tiles *= 2
     sb_px = sb_tiles * tile_px
     assert rmax <= sb_px, "halo larger than superblock"
     nsr = (height + sb_px - 1) // sb_px

@@ -1762,6 +1762,163 @@ def q54_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extracted").alias("n_chars"))
 
 
+N_PAGES_Q55 = 2048
+N_WARC_FILES_Q55 = 8
+WARC_FIXTURE_DIR = "/tmp/spark_graft_warc_q55"
+
+
+def q55_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-surface ingest edge for the webtext axis: Common-Crawl-style WARC
+    files (ISO 28500, member-gzip) → pages table → HTML extraction, fully
+    distributed (one task per WARC file; sources/warc.py). The golden
+    oracle is built straight from the page GENERATOR — it never touches
+    the WARC codec or either HTML tokenizer — so the hash verifies
+    writer→gzip→reader→HTTP-split→extraction end-to-end."""
+    from ..functions.html_text import html_to_text_udf
+    from ..sources.pages import page_id_expr_sql
+    from ..sources.warc import ensure_pages_warc, read_warc
+    paths = ensure_pages_warc(WARC_FIXTURE_DIR, N_PAGES_Q55,
+                              N_WARC_FILES_Q55)
+    recs = read_warc(spark, paths, responses_only=True)
+    return recs.select(
+        F.expr(page_id_expr_sql("spark")).alias("page_id"),
+        "url", "warc_ts", "http_status", "n_bytes",
+        html_to_text_udf(F.col("html")).alias("extracted"))
+
+
+def _q56_messy_sql() -> str:
+    """Messy URL as a pure function of doc_id: four canonicalization
+    classes (tracking params + dot segments + default port + case, an
+    already-canonical row, percent-encoding normalization, and a
+    root-overflowing ``..`` chain)."""
+    k = "CAST(doc_id % 997 AS STRING)"
+    i = "CAST(doc_id AS STRING)"
+    return f"""CASE doc_id % 4
+      WHEN 0 THEN CONCAT('HTTPS://WWW.SITE', {k},
+        '.Example.com:443/a/./b/../c/page/', {i},
+        '?utm_source=feed&id=', {i}, '&utm_campaign=x#sec')
+      WHEN 1 THEN CONCAT('https://site', {k}, '.example.com/p/', {i})
+      WHEN 2 THEN CONCAT('http://Site', {k}, '.example.com/%41b%7e/%2fq/',
+        {i}, '?id=', {i}, '&')
+      ELSE CONCAT('http://site', {k}, '.example.com:80/x/../../y/', {i},
+        '#f') END"""
+
+
+def q56_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (functions/url.py — RFC 3986
+    §6.2.2 syntax normalization + tracking-param stripping) as an Arrow
+    kernel. The oracle never normalizes: it CONSTRUCTS the expected
+    canonical URL directly from doc_id, so the hash checks the algorithm
+    against the spec rather than against a second copy of itself."""
+    from ..functions.url import canonicalize_url_udf
+    d = _docs(spark, sf_dir)
+    out = d.select("doc_id", F.expr(_q56_messy_sql()).alias("url_raw"))
+    return (out.withColumn("_c", canonicalize_url_udf(F.col("url_raw")))
+            .select("doc_id",
+                    F.col("_c.url_norm").alias("url_norm"),
+                    F.col("_c.host").alias("host")))
+
+
+def q56_sql() -> str:
+    return """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'https://www.site' || k || '.example.com/a/c/page/' || i
+                || '?id=' || i
+    WHEN 1 THEN 'https://site' || k || '.example.com/p/' || i
+    WHEN 2 THEN 'http://site' || k || '.example.com/Ab~/%2Fq/' || i
+                || '?id=' || i
+    ELSE 'http://site' || k || '.example.com/y/' || i END AS url_norm,
+  CASE WHEN doc_id % 4 = 0 THEN 'www.site' || k || '.example.com'
+       ELSE 'site' || k || '.example.com' END AS host
+FROM (SELECT doc_id, CAST(doc_id % 997 AS VARCHAR) AS k,
+             CAST(doc_id AS VARCHAR) AS i FROM documents)
+"""
+
+
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — union-tag + one window pass): each
+    document probes its user's event stream for the latest event at or
+    before a deterministic probe timestamp. The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — a different physical algorithm validating the
+    union-tag re-expression, including the no-preceding-event NULL path
+    (probe users beyond the event table's user range)."""
+    from ..operators.asof import asof_join
+    probes = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(doc_id % 97 AS BIGINT)").alias("user_id"),
+        F.expr("timestampadd(SECOND, CAST(pmod(doc_id*9973, 2678400) AS "
+               "INT), timestamp'2024-01-01 00:00:00')").alias("probe_ts"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join(probes, events, key="user_id", probe_ts="probe_ts",
+                     event_ts="ts", carry=["event_id", "value"])
+
+
+def q57_sql() -> str:
+    return """
+WITH probes AS (
+  SELECT doc_id, doc_id % 97 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(doc_id * 9973 % 2678400 AS BIGINT)) AS probe_ts
+  FROM documents)
+SELECT p.doc_id, p.user_id, p.probe_ts,
+       e.event_id AS ev_event_id, e.value AS ev_value
+FROM probes p ASOF LEFT JOIN events e
+  ON p.user_id = e.user_id AND p.probe_ts >= e.ts
+"""
+
+
+def q58_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family q45 does
+    not cover): duplicate-trigram fraction and top-trigram fraction per
+    document. Plan: trigrams via ``transform(sequence(...))`` (pure
+    Catalyst, no Python), two-level partial/final aggregation — at 100 TB
+    the explode amplifies rows ~n_words× but every stage map-side-combines
+    on (doc_id, tri) before the shuffle."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("w", F.split("text", " "))
+         .withColumn("n", F.size("w"))
+         .filter(F.col("n") >= 3))
+    tri = d.select(
+        "doc_id",
+        F.expr("explode(transform(sequence(0, n - 3), "
+               "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").alias("tri"))
+    per = (tri.groupBy("doc_id", "tri")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tri"),
+                 F.count(F.lit(1)).alias("n_distinct_tri"),
+                 F.max("c").alias("max_tri"))
+            .select("doc_id", "n_tri", "n_distinct_tri", "max_tri",
+                    F.expr("CAST(n_tri - n_distinct_tri AS DOUBLE) / n_tri")
+                    .alias("dup_tri_frac"),
+                    F.expr("CAST(max_tri AS DOUBLE) / n_tri")
+                    .alias("top_tri_frac")))
+
+
+def q58_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+  FROM d),
+per AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tri,
+       CAST(count(*) AS BIGINT) AS n_distinct_tri,
+       CAST(max(c) AS BIGINT) AS max_tri,
+       CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+         AS dup_tri_frac,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_tri_frac
+FROM per GROUP BY doc_id
+"""
+
+
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
@@ -1828,6 +1985,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_h3_kring_smooth": q52_h3_kring_smooth,
     "q53_training_pipeline": q53_training_pipeline,
     "q54_html_extract": q54_html_extract,
+    "q55_warc_ingest": q55_warc_ingest,
+    "q56_url_canonicalize": q56_url_canonicalize,
+    "q57_asof_join": q57_asof_join,
+    "q58_repetition_signals": q58_repetition_signals,
 }
 
 # --------------------------------------------------------------------------
@@ -1905,4 +2066,8 @@ ORACLES: dict[str, str] = {
     "q52_h3_kring_smooth": _golden_sql("q52_h3_kring_smooth"),
     "q53_training_pipeline": q53_sql(),
     "q54_html_extract": _golden_sql("q54_html_extract"),
+    "q55_warc_ingest": _golden_sql("q55_warc_ingest"),
+    "q56_url_canonicalize": q56_sql(),
+    "q57_asof_join": q57_sql(),
+    "q58_repetition_signals": q58_sql(),
 }

@@ -112,8 +112,12 @@ def main():
         "Strategy-crossover evidence (planner's Method-1 gate): at mult 8 "
         "(4.8M points, same input) convolve_all beats the tiled cogroup "
         "~3x — its cost is one whole-raster convolution plus an "
-        "O(points) gather. Its efficiency on the SMALL default raster "
-        "(16.8M px = 256 coarse tasks) is task-starved by design; "
+        "O(points) gather. r3: the fused kernel's chord gather is chunked "
+        "(row-sorted 2048-point slices, cache-resident temporaries — the "
+        "whole-batch form was memory-bus bound at ~0.5 eff) and "
+        "superblock size is now DATA-adaptive (smallest power-of-2 "
+        "containing the halo with tile fan-out <= 2x; identical plan at "
+        "every cluster size, 4x the tasks on the small raster). "
         "`q33_convolve_stage_big` measures the convolution STAGE on a "
         "16384x12288 raster (3072 tiles — the task-rich 100 TB regime) "
         "and `q01_zonal_convolve_all_big` the fused convolve+gather op "

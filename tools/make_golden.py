@@ -447,6 +447,31 @@ def golden_q54() -> pd.DataFrame:
     })
 
 
+def golden_q55() -> pd.DataFrame:
+    """Expected WARC-ingest rows straight from the page generator — never
+    touches the WARC codec, gzip layer, HTTP splitter or either HTML
+    tokenizer, so q55's hash proves that whole chain end-to-end. The HTTP
+    block size is recomputed here from the message grammar."""
+    from air_health_gis_tools_spark.plans.queries import N_PAGES_Q55
+    from air_health_gis_tools_spark.sources.pages import _gen_pages
+    pdf = next(_gen_pages([pd.DataFrame(
+        {"id": np.arange(N_PAGES_Q55, dtype=np.int64)})]))
+    n_bytes = []
+    for h in pdf["html"]:
+        head = (f"HTTP/1.1 200 OK\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"Content-Length: {len(h)}\r\n\r\n")
+        n_bytes.append(len(head) + len(h))
+    return pd.DataFrame({
+        "page_id": np.arange(N_PAGES_Q55, dtype=np.int64),
+        "url": pdf["url"],
+        "warc_ts": pdf["warc_ts"],
+        "http_status": np.full(N_PAGES_Q55, 200, dtype=np.int32),
+        "n_bytes": np.asarray(n_bytes, dtype=np.int64),
+        "extracted": pdf["text"],   # fixture html wraps text verbatim
+    })
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -460,6 +485,7 @@ ALL = {
     "q51_geocode_crs_pixel": golden_q51,
     "q52_h3_kring_smooth": golden_q52,
     "q54_html_extract": golden_q54,
+    "q55_warc_ingest": golden_q55,
 }
 
 
