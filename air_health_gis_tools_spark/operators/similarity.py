@@ -165,6 +165,112 @@ def ann_topk_ivf(df: DataFrame, qvec: list[float], k: int = 5,
     return cosine_topk(cand, qvec, k, id_col, vec_col)
 
 
+def pq_train_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 16,
+                       iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    dim into ``m`` subspaces and run Lloyd's k-means with ``ksub``
+    centroids in each. Driver-side on a bounded sample (same recipe as the
+    IVF coarse quantizer); returns ``(m, ksub, dim//m)``. Deterministic:
+    fixed seed, fixed iterations."""
+    n, dim = vectors.shape
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = vectors[:, j * dsub:(j + 1) * dsub].astype(np.float64)
+        idx = rng.choice(n, size=min(ksub, n), replace=False)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cents)):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = sub[msk].mean(axis=0)
+        books[j, :len(cents)] = cents
+        if len(cents) < ksub:          # degenerate tiny sample: pad
+            books[j, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Distributed PQ encode: each vector becomes ``m`` small codes
+    (argmin centroid per subspace). At dim=64/m=8/ksub=16 that is 256 B of
+    float32 → 8 codes — the 32× memory step that lets a billion-vector
+    index live in RAM. Codebooks ride the closure (tiny); one batched
+    kernel per Arrow batch."""
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+    b2 = (books * books).sum(axis=2)                      # (m, ksub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)   # (n, dim)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d = b2[j][None, :] - 2.0 * (sub @ books[j].T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_codes", _encode(F.col(vec_col)))
+
+
+def ann_topk_ivfpq(df: DataFrame, qvec: list[float], k: int = 5,
+                   n_lists: int = 8, n_probe: int = 4,
+                   m: int = 8, ksub: int = 16, refine: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None,
+                   codebooks: np.ndarray | None = None,
+                   seed: int = 42) -> DataFrame:
+    """IVF-PQ ANN — the billion-scale composition: IVF coarse prune to
+    ``n_probe`` lists, PQ asymmetric-distance (ADC) scoring of the
+    survivors from the query's ``(m, ksub)`` lookup table, keep the
+    ``refine`` best ADC candidates, exact quantized-cosine re-rank of
+    those for the final top-k.
+
+    Plan shape at 100 TB: the scan prunes on ``ivf_list`` (partition-able
+    column), ADC touches only codes (8 B/vector, no raw embeddings move),
+    and the exact re-rank reads full vectors for ``refine`` rows only.
+    ``refine >= |candidates|`` degenerates to IVF-exact (proven in tests);
+    recall@10 at the default operating point is floor-asserted.
+
+    Codes are built on raw vectors (no residual rotation — OPQ/residual-PQ
+    are documented extensions, not implemented)."""
+    if centroids is None or codebooks is None:
+        sample = np.stack([r[0] for r in
+                           df.select(vec_col).limit(4096).collect()])
+        if centroids is None:
+            centroids = ivf_train_centroids(sample, n_lists, seed=seed)
+        if codebooks is None:
+            codebooks = pq_train_codebooks(sample, m=m, ksub=ksub)
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+
+    books = codebooks.astype(np.float64)
+    m_, ksub_, dsub = books.shape
+    # ADC lookup table: ||q_j - c||² per subspace centroid
+    lut = np.stack([((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2
+                     ).sum(axis=1) for j in range(m_)])      # (m, ksub)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())                       # (n, m)
+        return pd.Series(lut[np.arange(m_)[None, :], c].sum(axis=1))
+
+    cand = (ivf_assign(pq_encode(df, codebooks, vec_col), centroids,
+                       vec_col)
+            .filter(F.col("ivf_list").isin(probes)))
+    shortlist = (cand.withColumn("adc", _adc(F.col("pq_codes")))
+                 .orderBy(F.col("adc").asc(), F.col(id_col))
+                 .limit(refine))
+    return cosine_topk(shortlist, qvec, k, id_col, vec_col)
+
+
 def ann_topk_lsh(df: DataFrame, qvec: list[float], k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1836,6 +1836,20 @@ FROM (SELECT doc_id, CAST(doc_id % 997 AS VARCHAR) AS k,
 """
 
 
+def q59_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.ann_topk_ivfpq): coarse prune →
+    8-byte PQ codes → ADC shortlist → exact re-rank. Operating point
+    n_lists=8, n_probe=6, m=8, ksub=16, refine=64; recall vs exact is
+    floor-asserted in tests/test_similarity.py and the golden oracle is an
+    independent numpy replay of the same published algorithm."""
+    from ..operators.similarity import ann_topk_ivfpq
+    emb = _emb(spark, sf_dir)
+    qvec = (emb.filter(F.col("vec_id") == TOPK_QUERY_ID)
+            .select("embedding").head()[0])
+    return ann_topk_ivfpq(emb, list(qvec), k=TOPK_K, n_lists=8, n_probe=6,
+                          m=8, ksub=16, refine=64)
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -1989,6 +2003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_url_canonicalize": q56_url_canonicalize,
     "q57_asof_join": q57_asof_join,
     "q58_repetition_signals": q58_repetition_signals,
+    "q59_ann_ivfpq": q59_ann_ivfpq,
 }
 
 # --------------------------------------------------------------------------
@@ -2070,4 +2085,5 @@ ORACLES: dict[str, str] = {
     "q56_url_canonicalize": q56_sql(),
     "q57_asof_join": q57_sql(),
     "q58_repetition_signals": q58_sql(),
+    "q59_ann_ivfpq": _golden_sql("q59_ann_ivfpq"),
 }

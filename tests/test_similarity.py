@@ -97,3 +97,49 @@ def test_ann_high_recall_on_clustered_data(spark):
           f"lsh(8 planes, 4 tables): {r_lsh}")
     assert r_ivf >= 0.9
     assert r_lsh >= 0.9
+
+
+def test_ivfpq_full_refine_equals_ivf_exact(emb, qvec):
+    """refine >= all candidates + full probes ⇒ IVF-PQ degenerates to the
+    exact top-k (ADC only orders the shortlist, never drops truth)."""
+    from air_health_gis_tools_spark.operators.similarity import ann_topk_ivfpq
+    exact = cosine_topk(emb, qvec, k=10).toPandas()["vec_id"].tolist()
+    full = ann_topk_ivfpq(emb, qvec, k=10, n_lists=8, n_probe=8,
+                          refine=10_000).toPandas()["vec_id"].tolist()
+    assert full == exact
+
+
+def test_ivfpq_recall_floor_at_operating_point(emb, qvec):
+    """recall@10 >= 0.8 at the q59 operating point on uniform-random
+    vectors (the worst case for ANY pruned ANN — ADC adds quantization
+    loss on top of IVF's list pruning; the committed golden pins the
+    exact result set)."""
+    from air_health_gis_tools_spark.operators.similarity import ann_topk_ivfpq
+    exact = set(cosine_topk(emb, qvec, k=10).toPandas()["vec_id"])
+    approx = set(ann_topk_ivfpq(emb, qvec, k=10, n_lists=8, n_probe=6,
+                                refine=64).toPandas()["vec_id"])
+    assert len(exact & approx) / 10 >= 0.8
+
+
+def test_pq_codes_reconstruct_better_than_random(emb):
+    """PQ sanity: codebook reconstruction error is far below the error of
+    shuffled (mismatched) codes — the codes actually encode the vectors."""
+    from air_health_gis_tools_spark.operators.similarity import (
+        pq_encode, pq_train_codebooks)
+    vecs = np.stack([r[0] for r in emb.select("embedding").collect()]
+                    ).astype(np.float64)
+    books = pq_train_codebooks(vecs, m=8, ksub=16)
+    got = pq_encode(emb, books).select("vec_id", "pq_codes").toPandas()
+    ids = got["vec_id"].to_numpy()
+    codes = np.stack(got["pq_codes"].to_numpy())
+    order = np.argsort(ids)
+    codes = codes[order]
+    vecs_sorted = vecs  # emb parquet is already vec_id-ordered
+    dsub = vecs.shape[1] // 8
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(8)], axis=1)
+    err = ((vecs_sorted - recon) ** 2).mean()
+    rng = np.random.default_rng(0)
+    shuf = recon[rng.permutation(len(recon))]
+    err_shuf = ((vecs_sorted - shuf) ** 2).mean()
+    assert err < 0.5 * err_shuf

@@ -447,6 +447,67 @@ def golden_q54() -> pd.DataFrame:
     })
 
 
+def golden_q59(k: int = 10, n_lists: int = 8, n_probe: int = 6,
+               m: int = 8, ksub: int = 16, refine: int = 64,
+               seed: int = 42, query_id: int = 0) -> pd.DataFrame:
+    """Independent numpy replay of IVF-PQ at the pinned operating point:
+    coarse k-means prune, per-subspace PQ codebooks + codes, ADC
+    shortlist of ``refine`` (ties by id), exact quantized-cosine top-k of
+    the shortlist — same published algorithm, separate code path."""
+    ids, mx = _emb_matrix()
+    vectors = mx.astype(np.float64)
+    # coarse quantizer (identical recipe to golden_q41)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(vectors), size=min(n_lists, len(vectors)),
+                     replace=False)
+    cents = vectors[idx].copy()
+    for _ in range(10):
+        d = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = vectors[mask].mean(axis=0)
+    q = vectors[ids == query_id][0]
+    probes = set(int(i) for i in np.argsort(
+        ((cents - q[None, :]) ** 2).sum(axis=1))[:n_probe])
+    c2 = (cents * cents).sum(axis=1)
+    alist = np.argmin(c2[None, :] - 2.0 * (vectors @ cents.T), axis=1)
+    cand = np.array([int(a) in probes for a in alist])
+    # PQ codebooks (engine seed 7) + codes + ADC over candidates
+    dim = vectors.shape[1]
+    dsub = dim // m
+    rng2 = np.random.default_rng(7)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = vectors[:, j * dsub:(j + 1) * dsub]
+        i2 = rng2.choice(len(vectors), size=min(ksub, len(vectors)),
+                         replace=False)
+        bc = sub[i2].copy()
+        for _ in range(10):
+            d = ((sub[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(len(bc)):
+                mask = a == c
+                if mask.any():
+                    bc[c] = sub[mask].mean(axis=0)
+        books[j] = bc
+    b2 = (books * books).sum(axis=2)
+    codes = np.empty((len(vectors), m), dtype=np.int64)
+    for j in range(m):
+        sub = vectors[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = np.argmin(b2[j][None, :] - 2.0 * (sub @ books[j].T),
+                                axis=1)
+    lut = np.stack([((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2
+                     ).sum(axis=1) for j in range(m)])
+    adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    cidx = np.where(cand)[0]
+    order = sorted(cidx, key=lambda i: (adc[i], ids[i]))
+    short = np.array(order[:refine], dtype=np.int64)
+    cos, n2 = _quant_cosine(mx[short], q)
+    return _topk(ids[short], cos, n2, k)
+
+
 def golden_q55() -> pd.DataFrame:
     """Expected WARC-ingest rows straight from the page generator — never
     touches the WARC codec, gzip layer, HTTP splitter or either HTML
@@ -486,6 +547,7 @@ ALL = {
     "q52_h3_kring_smooth": golden_q52,
     "q54_html_extract": golden_q54,
     "q55_warc_ingest": golden_q55,
+    "q59_ann_ivfpq": golden_q59,
 }
 
 
