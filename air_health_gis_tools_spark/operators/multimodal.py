@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Round-3 upgrade: image decode is REAL — a pure-NumPy PNG codec
-(``sources/png.py``, written from the public PNG spec) replaces the round-2
-``NotImplementedError`` stub. The Spark-side plumbing is unchanged and
-battle-tested: schema, Arrow batch shaping, size-aware partitioning,
-mapInPandas signatures, and the feature-extraction contract. Audio/video
-decode would still need ffmpeg on a real cluster; their feature path here
-is a deterministic byte-histogram pool (documented, not hidden).
+Round-3 upgrade: image AND audio decode are REAL — a pure-NumPy PNG codec
+(``sources/png.py``) and a RIFF/PCM WAV codec (``sources/wav.py``), both
+written from the public specs, replace the round-2 stubs. The Spark-side
+plumbing is unchanged and battle-tested: schema, Arrow batch shaping,
+size-aware partitioning, mapInPandas signatures, and the
+feature-extraction contract. Video decode would still need ffmpeg on a
+real cluster; its feature path is a deterministic byte-histogram pool
+(documented, not hidden).
 """
 
 from __future__ import annotations
@@ -19,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..sources.png import png_decode, png_encode
+from ..sources.wav import wav_decode, wav_encode
+
+AUDIO_RATE = 8000
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -50,6 +54,17 @@ def media_image_array(media_id: int, width: int, height: int) -> np.ndarray:
     return np.stack([r, g, b], axis=2).astype(np.uint8)
 
 
+def media_audio_samples(media_id: int) -> np.ndarray:
+    """Deterministic int16 waveform for media_id — pure integer math (a
+    sawtooth whose period and phase derive from the id), so the golden
+    generator reproduces the SOURCE samples without calling the WAV
+    decoder (the same encode→decode cross-check as the images)."""
+    n = 800 + (media_id % 23) * 40
+    t = np.arange(n, dtype=np.int64)
+    return (((t * (3 + media_id % 7) + media_id * 17) % 4096 - 2048) * 8
+            ).astype(np.int16)
+
+
 def media_row(i: int) -> tuple:
     """One deterministic media-table row (shared by the Spark fixture and
     the driver-side golden generator)."""
@@ -58,6 +73,11 @@ def media_row(i: int) -> tuple:
         w, h = 64 + i % 64, 64 + i % 32
         payload = png_encode(media_image_array(i, w, h))
         return (i, kind, payload, w, h, None)
+    if kind == "audio":
+        samples = media_audio_samples(i)
+        payload = wav_encode(samples, AUDIO_RATE)
+        return (i, kind, payload, None, None,
+                len(samples) * 1000 // AUDIO_RATE)
     payload = (i * 2654435761 % (1 << 32)).to_bytes(4, "big") \
         * (16 + i % 48)
     return (i, kind, payload, None, None, 1000 + i % 9000)
@@ -87,8 +107,28 @@ def image_feature(arr: np.ndarray, feat_dim: int = 8) -> np.ndarray:
     return np.resize(flat.mean(axis=0).astype(np.float32), feat_dim)
 
 
+def audio_feature(samples: np.ndarray, rate: int = AUDIO_RATE,
+                  feat_dim: int = 8) -> np.ndarray:
+    """Pooled audio descriptor from decoded PCM samples: mean |amplitude|
+    (exact int64 sum → one division), RMS, zero-crossing rate, peak,
+    duration and extremes. Shared by the extract kernel and the golden
+    generator, which feeds it SOURCE samples (never the WAV decoder)."""
+    s = samples.reshape(-1).astype(np.int64)
+    n = max(len(s), 1)
+    mean_abs = float(np.abs(s).sum()) / n
+    rms = float(np.sqrt(float((s * s).sum()) / n))
+    zc = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))) \
+        / max(n - 1, 1)
+    feat = np.array([mean_abs, rms, zc, float(np.abs(s).max() if len(s)
+                                              else 0),
+                     n * 1000.0 / rate, float(s.sum()) / n,
+                     float(s.min() if len(s) else 0),
+                     float(s.max() if len(s) else 0)], dtype=np.float32)
+    return np.resize(feat, feat_dim)
+
+
 def byte_histogram_feature(b: bytes, feat_dim: int = 8) -> np.ndarray:
-    """Audio/video pooled byte-histogram feature (deterministic; real
+    """Video pooled byte-histogram feature (deterministic; real video
     codecs are a cluster-deployment concern, documented stub-free here)."""
     h = np.bincount(np.frombuffer(b, dtype=np.uint8),
                     minlength=256).astype(np.float32)
@@ -114,6 +154,9 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 digs.append(hashlib.sha256(b).hexdigest())
                 if kind == "image":
                     feats.append(image_feature(decode_image(b), feat_dim))
+                elif kind == "audio":
+                    samples, rate = wav_decode(b)
+                    feats.append(audio_feature(samples, rate, feat_dim))
                 else:
                     feats.append(byte_histogram_feature(b, feat_dim))
             yield pd.DataFrame({

@@ -207,12 +207,17 @@ def golden_q30() -> pd.DataFrame:
 
 def golden_q31(n: int = 200) -> pd.DataFrame:
     from air_health_gis_tools_spark.operators.multimodal import (
-        byte_histogram_feature, image_feature, media_image_array, media_row)
+        audio_feature, byte_histogram_feature, image_feature,
+        media_audio_samples, media_image_array, media_row)
     agg: dict[str, list] = {}
     for i in range(n):
         mid, kind, payload, w, h, _ = media_row(i)
         if kind == "image":
             feat0 = image_feature(media_image_array(i, w, h))[0]
+        elif kind == "audio":
+            # SOURCE samples — the WAV decoder is never invoked here, so
+            # q31's hash proves wav_encode→wav_decode fidelity
+            feat0 = audio_feature(media_audio_samples(i))[0]
         else:
             feat0 = byte_histogram_feature(payload)[0]
         f0q = int(np.floor(np.float64(feat0) * 1024 + 0.5))
