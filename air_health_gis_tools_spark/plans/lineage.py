@@ -121,6 +121,133 @@ def run_stage(df: DataFrame, part_col: str, store: CheckpointStore,
     return spark.read.parquet(*[store.bucket_path(str(b)) for b in buckets])
 
 
+class SnapshotTable:
+    """Iceberg-semantics stand-in: snapshot isolation + time travel over
+    immutable parquet data files (no Iceberg jar in this sandbox; swap for
+    ``writeTo(catalog.table)`` + ``VERSION AS OF`` on a real cluster —
+    same seam as CheckpointStore, documented at module top).
+
+    Mechanics mirror the Iceberg spec's shape: every commit writes data
+    files under a fresh ``data/v{N}/bucket={b}/`` prefix, then an
+    immutable manifest ``snapshots/v{N}.json`` (full file listing + op
+    summary + per-bucket row counts) and finally atomically swaps the
+    ``_current`` pointer — readers of any pinned version never see a
+    partial commit, and old versions stay readable until
+    ``expire_snapshots`` drops their unreferenced files."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        self._ptr = os.path.join(root, "_current")
+
+    # -- manifest plumbing -------------------------------------------------
+    def current_version(self) -> int:
+        if not os.path.exists(self._ptr):
+            return 0
+        with open(self._ptr) as f:
+            return int(f.read().strip())
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "op": "empty", "buckets": {}}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    # -- commits -----------------------------------------------------------
+    def commit(self, df: DataFrame, part_col: str, op: str = "overwrite",
+               buckets: list | None = None) -> int:
+        """Write ``df`` partitioned on ``part_col`` as the next snapshot.
+        ``op='overwrite'`` replaces the listed buckets (others carry over
+        from the parent snapshot); ``op='append'`` adds the new files
+        ALONGSIDE the parent's files for the same buckets."""
+        assert op in ("append", "overwrite")
+        spark = df.sparkSession
+        v = self.current_version() + 1
+        data_root = os.path.join(self.root, "data", f"v{v}")
+        staged = df.withColumn("part_bucket",
+                               F.col(part_col).cast("string"))
+        staged.write.mode("overwrite").partitionBy("part_bucket").parquet(
+            data_root)
+        counts = {str(r["part_bucket"]): int(r["count"]) for r in
+                  spark.read.parquet(data_root)
+                  .groupBy("part_bucket").count().collect()}
+        parent = self.manifest()
+        new_buckets: dict[str, dict] = {
+            k: dict(e) for k, e in parent["buckets"].items()}
+        for b, n in counts.items():
+            path = os.path.join(data_root, f"part_bucket={b}")
+            if op == "append" and b in new_buckets:
+                new_buckets[b] = {
+                    "paths": new_buckets[b]["paths"] + [path],
+                    "rows": new_buckets[b]["rows"] + n}
+            else:
+                new_buckets[b] = {"paths": [path], "rows": n}
+        man = {"version": v, "op": op, "parent": parent["version"],
+               "buckets": new_buckets}
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._ptr)         # atomic snapshot swap
+        return v
+
+    # -- reads -------------------------------------------------------------
+    def read(self, spark: SparkSession,
+             as_of: int | None = None) -> DataFrame:
+        """Read the table at a snapshot version (time travel); default =
+        current. Reads ONLY the files that snapshot's manifest lists."""
+        man = self.manifest(as_of)
+        paths = [p for e in man["buckets"].values() for p in e["paths"]]
+        if not paths:
+            raise ValueError("snapshot is empty")
+        return spark.read.parquet(*paths).drop("part_bucket")
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in range(1, self.current_version() + 1):
+            m = self.manifest(v)
+            out.append({"version": v, "op": m["op"],
+                        "n_buckets": len(m["buckets"]),
+                        "rows": sum(e["rows"]
+                                    for e in m["buckets"].values())})
+        return out
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data files no surviving snapshot references (Iceberg's
+        expire_snapshots maintenance action)."""
+        cur = self.current_version()
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep:
+            for e in self.manifest(v)["buckets"].values():
+                live.update(e["paths"])
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for vdir in sorted(os.listdir(data_dir)) if os.path.exists(
+                data_dir) else []:
+            vpath = os.path.join(data_dir, vdir)
+            for bdir in sorted(os.listdir(vpath)):
+                p = os.path.join(vpath, bdir)
+                if os.path.isdir(p) and p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+            # version dir holds only write markers (_SUCCESS etc.) once
+            # its last bucket dir is gone: drop it wholesale
+            if not any(os.path.isdir(os.path.join(vpath, e))
+                       for e in os.listdir(vpath)):
+                shutil.rmtree(vpath, ignore_errors=True)
+        for v in range(1, cur + 1):
+            if v not in keep and os.path.exists(self._manifest_path(v)):
+                os.remove(self._manifest_path(v))
+        return removed
+
+
 def metrics_df(spark: SparkSession, store: CheckpointStore) -> DataFrame:
     rows = [(k, v["rows"], v["seconds"])
             for k, v in store.done_buckets().items()]
