@@ -1850,6 +1850,109 @@ def q59_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                           m=8, ksub=16, refine=64)
 
 
+_LATLNG_SQL = ("((y - 2000000.0) / 100000.0)",
+               "((x - 2000000.0) / 100000.0)")   # linear planar→latlng
+TILE_Z = 12
+
+
+def q60_web_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-formula web-map tile ids (functions/webtiles.py): slippy
+    xtile/ytile (OSM spec) + Bing quadkey at z=12 — closed-form
+    arithmetic, pure Catalyst, and the oracle evaluates the IDENTICAL
+    published expressions, so the hash pins spec conformance. These ids
+    (unlike the engine-canonical hex lattice) interoperate with any
+    mapping stack."""
+    from ..functions.webtiles import quadkey_sql, tile_xy_sql
+    lat, lng = _LATLNG_SQL
+    xt, yt = tile_xy_sql(lat, lng, TILE_Z, "spark")
+    qk = quadkey_sql("xtile", "ytile", TILE_Z, "spark")
+    pts = docs_xy(spark, sf_dir)
+    return (pts.select("doc_id",
+                       F.expr(xt).alias("xtile"),
+                       F.expr(yt).alias("ytile"))
+            .withColumn("quadkey", F.expr(qk)))
+
+
+def q60_sql() -> str:
+    from ..functions.webtiles import quadkey_sql, tile_xy_sql
+    lat, lng = _LATLNG_SQL
+    xt, yt = tile_xy_sql(lat, lng, TILE_Z, "duckdb")
+    qk = quadkey_sql("xtile", "ytile", TILE_Z, "duckdb")
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+tiles AS (SELECT doc_id, {xt} AS xtile, {yt} AS ytile FROM pts)
+SELECT doc_id, xtile, ytile, {qk} AS quadkey FROM tiles
+"""
+
+
+def q61_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash assignment (functions/geohash.py — the public Niemeyer
+    encoding, pinned by published vectors in tests/test_webtiles.py) at
+    precisions 5 and 9, plus the prefix-containment property checked
+    in-plan (p5 must prefix p9 — the hash verifies the hierarchy, not
+    just the leaf)."""
+    from ..functions.geohash import geohash_udf
+    lat, lng = _LATLNG_SQL
+    pts = docs_xy(spark, sf_dir).select(
+        "doc_id", F.expr(lat).alias("lat"), F.expr(lng).alias("lng"))
+    return (pts.withColumn("gh5", geohash_udf(5)(F.col("lat"),
+                                                 F.col("lng")))
+            .withColumn("gh9", geohash_udf(9)(F.col("lat"), F.col("lng")))
+            .select("doc_id", "gh5", "gh9",
+                    (F.col("gh9").substr(1, 5) == F.col("gh5"))
+                    .cast("int").alias("is_prefix")))
+
+
+TERMS_BM25 = ("spark", "join", "table")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_sql(dialect: str) -> str:
+    arr = "string_split(text, ' ')" if dialect == "duckdb" \
+        else "split(text, ' ')"
+    flt = "list_filter" if dialect == "duckdb" else "filter"
+    sz = "len" if dialect == "duckdb" else "size"
+    tf_cols = ", ".join(
+        f"CAST({sz}({flt}({arr}, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in TERMS_BM25)
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df_{t}" for t in TERMS_BM25)
+    # float op order written ONCE, shared verbatim across engines
+    score = " + ".join(
+        f"ln((CAST(s.n_docs AS DOUBLE) - s.df_{t} + 0.5) / "
+        f"(s.df_{t} + 0.5) + 1.0) * (b.tf_{t} * {BM25_K1 + 1.0}) / "
+        f"(b.tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * b.dl / "
+        f"(CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
+        for t in TERMS_BM25)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {tf_cols}, CAST({sz}({arr}) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl, {dfs}
+  FROM base),
+scored AS (SELECT b.doc_id, {score} AS bm25
+           FROM base b CROSS JOIN stats s)
+SELECT doc_id, CAST(floor(bm25 * 1000000000.0 + 0.5) AS BIGINT) AS bm25_q
+FROM scored
+ORDER BY bm25_q DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 corpus scoring (Robertson/Spärck Jones; k1=1.2 b=0.75)
+    for a fixed query term set — docfreq/avgdl corpus statistics as a
+    1-row broadcast dim, per-doc term frequencies via array filters, one
+    shared float expression evaluated verbatim on both engines. The
+    emitted score is nano-quantized (×1e9 → BIGINT) because JVM Math.log
+    and libm ln differ by 1 ulp — ordering and hashing use the quantized
+    value so the oracle row is engine-exact. Top-k with id tie-break."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_bm25_sql("spark"))
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2004,6 +2107,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_asof_join": q57_asof_join,
     "q58_repetition_signals": q58_repetition_signals,
     "q59_ann_ivfpq": q59_ann_ivfpq,
+    "q60_web_tiles": q60_web_tiles,
+    "q61_geohash_cells": q61_geohash_cells,
+    "q62_bm25_topk": q62_bm25_topk,
 }
 
 # --------------------------------------------------------------------------
@@ -2086,4 +2192,7 @@ ORACLES: dict[str, str] = {
     "q57_asof_join": q57_sql(),
     "q58_repetition_signals": q58_sql(),
     "q59_ann_ivfpq": _golden_sql("q59_ann_ivfpq"),
+    "q60_web_tiles": q60_sql(),
+    "q61_geohash_cells": _golden_sql("q61_geohash_cells"),
+    "q62_bm25_topk": _bm25_sql("duckdb"),
 }

@@ -24,8 +24,11 @@ ALLOWED_CARTESIAN = {"q37_embedding_neardup", "q23_simhash_nn"}
 # the big-dim path (cell-explode joins measured in BENCH).
 # q43's CROSS JOIN is a FIXED 64-row offsets dim — a deliberate broadcast
 # fan-out (row growth is the operator's semantics, not a plan accident).
+# q62's stats side is ONE row (corpus n/avgdl/docfreqs) — the standard
+# scalar-statistics broadcast
 ALLOWED_BNLJ = ALLOWED_CARTESIAN | {"q35_lines_in_radius",
-                                    "q43_ring_sample_mean"}
+                                    "q43_ring_sample_mean",
+                                    "q62_bm25_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

@@ -513,6 +513,46 @@ def golden_q59(k: int = 10, n_lists: int = 8, n_probe: int = 6,
     return _topk(ids[short], cos, n2, k)
 
 
+def _geohash_scalar(lat: float, lng: float, precision: int) -> str:
+    """Independent scalar geohash (character-at-a-time interval walk — a
+    different shape from the engine's vectorized bit matrix)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_i, lng_i = [-90.0, 90.0], [-180.0, 180.0]
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        iv = lng_i if even else lat_i
+        v = lng if even else lat
+        mid = (iv[0] + iv[1]) / 2.0
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            iv[0] = mid
+        else:
+            iv[1] = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(b32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def golden_q61() -> pd.DataFrame:
+    from air_health_gis_tools_spark import geo_synth as G
+    d = _docs_pdf()
+    ids = d["doc_id"].to_numpy(np.int64)
+    x, y = G.point_xy_np(ids)
+    lat = (y.astype(np.float64) - 2_000_000.0) / 100_000.0
+    lng = (x.astype(np.float64) - 2_000_000.0) / 100_000.0
+    gh5 = [_geohash_scalar(a, b, 5) for a, b in zip(lat, lng)]
+    gh9 = [_geohash_scalar(a, b, 9) for a, b in zip(lat, lng)]
+    return pd.DataFrame({
+        "doc_id": ids, "gh5": gh5, "gh9": gh9,
+        "is_prefix": np.asarray(
+            [int(g9[:5] == g5) for g5, g9 in zip(gh5, gh9)],
+            dtype=np.int32)})
+
+
 def golden_q55() -> pd.DataFrame:
     """Expected WARC-ingest rows straight from the page generator — never
     touches the WARC codec, gzip layer, HTTP splitter or either HTML
@@ -553,6 +593,7 @@ ALL = {
     "q54_html_extract": golden_q54,
     "q55_warc_ingest": golden_q55,
     "q59_ann_ivfpq": golden_q59,
+    "q61_geohash_cells": golden_q61,
 }
 
 
