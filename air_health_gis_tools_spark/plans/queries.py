@@ -1953,6 +1953,54 @@ def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bm25_sql("spark"))
 
 
+SESSION_GAP_S = 1800
+
+
+def _sessionize_sql(dialect: str) -> str:
+    """Gap-based sessionization, identical semantics both engines: a new
+    session starts when the gap to the user's previous event exceeds the
+    threshold; session id = running count of session starts."""
+    if dialect == "duckdb":
+        gap = ("CAST(date_diff('second', lag(ts) OVER w, ts) "
+               "AS BIGINT)")
+    else:
+        gap = ("CAST(unix_timestamp(ts) - unix_timestamp(lag(ts) "
+               "OVER w) AS BIGINT)")
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN {gap} IS NULL OR {gap} > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q63_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min inactivity
+    boundary): lag + running-sum windows, one shuffle on user_id; the
+    oracle runs the same two-window SQL on DuckDB. At 100 TB both
+    windows share one partitioning — a single exchange, no join. The
+    value sum is integer-cents (IEEE multiply is exactly specified, so
+    the quantization is engine-identical; float SUMMATION order is
+    not)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_sessionize_sql("spark"))
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2110,6 +2158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_web_tiles": q60_web_tiles,
     "q61_geohash_cells": q61_geohash_cells,
     "q62_bm25_topk": q62_bm25_topk,
+    "q63_sessionize": q63_sessionize,
 }
 
 # --------------------------------------------------------------------------
@@ -2195,4 +2244,5 @@ ORACLES: dict[str, str] = {
     "q60_web_tiles": q60_sql(),
     "q61_geohash_cells": _golden_sql("q61_geohash_cells"),
     "q62_bm25_topk": _bm25_sql("duckdb"),
+    "q63_sessionize": _sessionize_sql("duckdb"),
 }
