@@ -188,6 +188,21 @@ def main():
     run("q21_hex_rollup_600k", lambda: pts_roll.withColumn(
         "c", hex_cell_expr(7))
         .groupBy("c").count().select(F.sum("count")).collect())
+    # north-rule metric is docs/sec: the webtext ingest edge end-to-end
+    # (WARC file scan -> gzip member decode -> HTTP split -> HTML->text
+    # extraction), one task per file. Fixture is built once and cached
+    # on disk; the timed job never touches the generator.
+    from air_health_gis_tools_spark.functions.html_text import \
+        html_to_text_udf
+    from air_health_gis_tools_spark.sources.warc import (ensure_pages_warc,
+                                                         read_warc)
+    n_pages = 16384
+    warc_paths = ensure_pages_warc("/tmp/spark_graft_warc_bench",
+                                   n_pages, 32)
+    run("q55_warc_extract_16k", lambda: read_warc(
+        spark, warc_paths, responses_only=True)
+        .select(html_to_text_udf(F.col("html")).alias("t"))
+        .agg(F.sum(F.length("t"))).collect())
     run("q16_minhash_docs", lambda: Q.q16_minhash(spark, SF_DIR)
         .select(F.count("mh_0")).collect())
     run("q18_cosine_topk", lambda: Q.q18_cosine_topk(spark, SF_DIR).collect())
@@ -204,6 +219,9 @@ def main():
         "n_points": n_points,
         "cpus": CPUS,
         "zonal_points_per_sec": round(n_points / flagship, 1),
+        "warc_extract_docs_per_sec": round(
+            n_pages / timings["q55_warc_extract_16k"], 1)
+        if "q55_warc_extract_16k" in timings else None,
     }))
     spark.stop()
 
