@@ -2001,6 +2001,42 @@ def q63_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sessionize_sql("spark"))
 
 
+N_SALT_Q64 = 16
+
+
+def q64_salted_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_rule's skew defense as a hash-verified row: two-phase
+    salted aggregation over a deliberately skewed key (host — ~60 % of
+    rows collapse onto one hot host). Phase 1 groups on (host, salt) so
+    the hot key spreads across N_SALT tasks; phase 2 merges the partials.
+    The oracle is the PLAIN single-phase GROUP BY — equality proves
+    salting changes the schedule, never the result."""
+    host = ("CASE WHEN doc_id % 5 < 3 THEN 'hot.example.com' "
+            "ELSE CONCAT('site', CAST(doc_id % 97 AS STRING), "
+            "'.example.com') END")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(host).alias("host"), "n_chars")
+    salted = d.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(N_SALT_Q64)))
+    partial = (salted.groupBy("host", "salt")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.sum("n_chars").alias("s")))
+    return (partial.groupBy("host")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.sum("s").alias("total_chars")))
+
+
+def q64_sql() -> str:
+    return """
+SELECT CASE WHEN doc_id % 5 < 3 THEN 'hot.example.com'
+            ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+       END AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2159,6 +2195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_geohash_cells": q61_geohash_cells,
     "q62_bm25_topk": q62_bm25_topk,
     "q63_sessionize": q63_sessionize,
+    "q64_salted_host_rollup": q64_salted_host_rollup,
 }
 
 # --------------------------------------------------------------------------
@@ -2245,4 +2282,5 @@ ORACLES: dict[str, str] = {
     "q61_geohash_cells": _golden_sql("q61_geohash_cells"),
     "q62_bm25_topk": _bm25_sql("duckdb"),
     "q63_sessionize": _sessionize_sql("duckdb"),
+    "q64_salted_host_rollup": q64_sql(),
 }
