@@ -13,7 +13,7 @@ sessionization q63, salted skew-defense rollup q64);
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only
 queries left: the non-SQL-expressible rows (q22-q24, q30, q31, q41,
-q44, q48-q52, q54, q55) are hash-verified against committed golden
+q44, q48-q52, q54, q55, q59, q61) are hash-verified against committed golden
 parquet tables under ``golden/``, computed independently by
 tools/make_golden.py (brute-force all-pairs for the banded simhash join,
 numpy ANN reimplementations at the pinned operating points, source-pixel
