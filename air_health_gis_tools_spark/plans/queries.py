@@ -2037,6 +2037,39 @@ FROM documents GROUP BY 1
 """
 
 
+def q65_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (functions/zorder.py — magic-number bit
+    dilation, pure Catalyst): 1 km cell coords → interleaved Morton code
+    + its level-4 quadtree prefix (the partition key a 100 TB table would
+    cluster on). Identical integer expression on the DuckDB oracle; the
+    pruning behavior itself is proven in tests/test_zorder.py."""
+    from ..functions.zorder import morton_sql
+    pts = docs_xy(spark, sf_dir)
+    cx = "CAST(floor(x / 1000.0) AS BIGINT)"
+    cy = "CAST(floor(y / 1000.0) AS BIGINT)"
+    m = morton_sql("cx", "cy", "spark")
+    return (pts.select("doc_id", F.expr(cx).alias("cx"),
+                       F.expr(cy).alias("cy"))
+            .withColumn("morton", F.expr(m))
+            .withColumn("quad4",
+                        F.expr("CAST(morton DIV 16777216 AS BIGINT)")))
+
+
+def q65_sql() -> str:
+    from ..functions.zorder import morton_sql
+    m = morton_sql("cx", "cy", "duckdb")
+    return f"""
+WITH pts AS ({_pts_cte('duckdb')}),
+cells AS (SELECT doc_id,
+                 CAST(floor(x / 1000.0) AS BIGINT) AS cx,
+                 CAST(floor(y / 1000.0) AS BIGINT) AS cy
+          FROM pts)
+SELECT doc_id, cx, cy, {m} AS morton,
+       CAST({m} // 16777216 AS BIGINT) AS quad4
+FROM cells
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2196,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_bm25_topk": q62_bm25_topk,
     "q63_sessionize": q63_sessionize,
     "q64_salted_host_rollup": q64_salted_host_rollup,
+    "q65_zorder_cells": q65_zorder_cells,
 }
 
 # --------------------------------------------------------------------------
@@ -2283,4 +2317,5 @@ ORACLES: dict[str, str] = {
     "q62_bm25_topk": _bm25_sql("duckdb"),
     "q63_sessionize": _sessionize_sql("duckdb"),
     "q64_salted_host_rollup": q64_sql(),
+    "q65_zorder_cells": q65_sql(),
 }
