@@ -217,6 +217,46 @@ class SnapshotTable:
                                     for e in m["buckets"].values())})
         return out
 
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1
+                ) -> int:
+        """Iceberg ``rewrite_data_files`` analog: rewrite every bucket
+        whose file count exceeds the target into one fresh prefix and
+        commit the rewrite as a new snapshot (op='compact'). Data is
+        bit-identical (pure rewrite); older snapshots keep reading their
+        original files until ``expire_snapshots`` drops them. Streaming
+        ingest appends one prefix per micro-batch, so periodic compaction
+        is what keeps the file count — and scan task count — bounded."""
+        parent = self.manifest()
+        v = self.current_version() + 1
+        data_root = os.path.join(self.root, "data", f"v{v}")
+        new_buckets: dict[str, dict] = {}
+        rewrote = False
+        for b, e in parent["buckets"].items():
+            n_files = sum(
+                len([f for f in os.listdir(p)
+                     if f.endswith(".parquet")])
+                for p in e["paths"] if os.path.exists(p))
+            if len(e["paths"]) <= 1 and n_files <= target_files_per_bucket:
+                new_buckets[b] = dict(e)
+                continue
+            dst = os.path.join(data_root, f"part_bucket={b}")
+            (spark.read.parquet(*e["paths"])
+             .coalesce(target_files_per_bucket)
+             .write.mode("overwrite").parquet(dst))
+            new_buckets[b] = {"paths": [dst], "rows": e["rows"]}
+            rewrote = True
+        if not rewrote:
+            return parent["version"]
+        man = {"version": v, "op": "compact", "parent": parent["version"],
+               "buckets": new_buckets}
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._ptr)
+        return v
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop manifests older than the newest ``keep_last`` and delete
         data files no surviving snapshot references (Iceberg's

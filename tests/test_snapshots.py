@@ -74,3 +74,32 @@ def test_expire_snapshots_gc(spark, tmp_path):
                for b in os.listdir(os.path.join(data_dir, v))
                if os.path.isdir(os.path.join(data_dir, v, b))}
     assert on_disk == live
+
+
+def test_compact_rewrites_multi_prefix_buckets(spark, tmp_path):
+    """Streaming-style appends fragment each bucket across version
+    prefixes; compact() rewrites them into one prefix per bucket with
+    identical rows, as a NEW snapshot the old versions survive."""
+    from pyspark.sql import functions as F
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 30, 60):
+        t.commit(_df(spark, lo, lo + 30, f"b{lo}"), "b", op="append")
+    pre = t.read(spark)
+    pre_rows = sorted(r["id"] for r in pre.collect())
+    man = t.manifest()
+    assert any(len(e["paths"]) > 1 for e in man["buckets"].values())
+
+    v = t.compact(spark)
+    assert v == 4 and t.manifest()["op"] == "compact"
+    man2 = t.manifest()
+    assert all(len(e["paths"]) == 1 for e in man2["buckets"].values())
+    post_rows = sorted(r["id"] for r in t.read(spark).collect())
+    assert post_rows == pre_rows
+    # pre-compaction snapshot still time-travels
+    assert t.read(spark, as_of=3).count() == 90
+    # idempotent: a second compact is a no-op (no new snapshot)
+    assert t.compact(spark) == v
+    # GC then leaves only the compacted files; current still reads
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == pre_rows
+    assert (t.read(spark).groupBy("b").count().count() == 3)
