@@ -25,18 +25,23 @@ from ..sources.raster import TILE_SCHEMA, tile_id_of
 
 
 def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int,
-                           height: int = RASTER_H, width: int = RASTER_W
-                           ) -> DataFrame:
+                           height: int = RASTER_H, width: int = RASTER_W,
+                           sample_offset: int | None = None) -> DataFrame:
     """Downsample a tile table by integer ``factor`` (nearest centers).
 
-    Output pixel (R, C) pulls source pixel (R*f + f//2, C*f + f//2) — the
-    source pixel containing the output pixel center (exact integer math).
+    Output pixel (R, C) pulls source pixel (R*f + off, C*f + off) where
+    ``off`` defaults to f//2 — the source pixel containing the output
+    pixel center (exact integer math). ``sample_offset=0`` selects the
+    corner convention GDAL's nearest overviews use (the reference's .ovr
+    pyramid matches ``full[0::2, 0::2]`` — see operators/pyramid.py).
     Output tiling keeps ``tile_px`` pixels per tile. ``height``/``width``
     are the SOURCE raster dims; edge output tiles are trimmed to the true
     downsampled extent (ceil(height/f) × ceil(width/f)).
     """
     assert factor >= 1
     f = int(factor)
+    off = f // 2 if sample_offset is None else int(sample_offset)
+    assert 0 <= off < f
     out_h = -(-height // f)
     out_w = -(-width // f)
 
@@ -69,10 +74,10 @@ def resample_tiles_nearest(tiles: DataFrame, factor: int, tile_px: int,
         # falls past the source extent (e.g. height=997, f=4)
         idx_r = np.clip(
             np.arange(otr * tile_px, otr * tile_px + h, dtype=np.int64)
-            * f + f // 2, 0, height - 1) - src_r0
+            * f + off, 0, height - 1) - src_r0
         idx_c = np.clip(
             np.arange(otc * tile_px, otc * tile_px + w, dtype=np.int64)
-            * f + f // 2, 0, width - 1) - src_c0
+            * f + off, 0, width - 1) - src_c0
         out = win[np.ix_(idx_r, idx_c)]
         return pd.DataFrame([{
             "tile_id": tile_id_of(otr, otc),
