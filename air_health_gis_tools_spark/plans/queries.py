@@ -2070,6 +2070,36 @@ FROM cells
 """
 
 
+def q66_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview pyramid on the REAL apg18e raster (operators/pyramid.py):
+    per-level valid-pixel count and exact quantized sum for levels 1-3.
+    Distributed end-to-end (byte-range tile scan → chained nearest
+    overviews → per-tile partial aggregation); the golden replays the
+    corner-convention subsample on the driver-side numpy decode — so the
+    hash checks the whole distributed pyramid chain."""
+    from ..operators.pyramid import build_pyramid
+    from ..sources.geotiff import geotiff_tile_table, read_ifd
+    tif = "/root/reference/data/apg18e_1_0_0_20210512.tif"
+    info = read_ifd(tif)
+    tiles = geotiff_tile_table(spark, tif)
+    pyr = build_pyramid(tiles, info.tile_w, info.height, info.width,
+                        levels=3)
+    outs = []
+    for lvl, (t, _, _) in enumerate(pyr, start=1):
+        outs.append(t.select(
+            F.lit(lvl).alias("level"),
+            F.explode("data").alias("v"))
+            .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_valid"),
+                 F.sum(F.expr("CAST(floor(v * 16.0 + 0.5) AS BIGINT)"))
+                 .alias("sum_q")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2230,6 +2260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_sessionize": q63_sessionize,
     "q64_salted_host_rollup": q64_salted_host_rollup,
     "q65_zorder_cells": q65_zorder_cells,
+    "q66_overview_pyramid": q66_overview_pyramid,
 }
 
 # --------------------------------------------------------------------------
@@ -2318,4 +2349,5 @@ ORACLES: dict[str, str] = {
     "q63_sessionize": _sessionize_sql("duckdb"),
     "q64_salted_host_rollup": q64_sql(),
     "q65_zorder_cells": q65_sql(),
+    "q66_overview_pyramid": _golden_sql("q66_overview_pyramid"),
 }

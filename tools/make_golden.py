@@ -578,6 +578,23 @@ def golden_q55() -> pd.DataFrame:
     })
 
 
+def golden_q66() -> pd.DataFrame:
+    """Overview-pyramid stats from the driver-side numpy decode (corner
+    subsample per level) — never touches the distributed tile scan,
+    overview shuffle or partial aggregation, so q66's hash checks that
+    whole chain."""
+    from air_health_gis_tools_spark.sources.geotiff import read_geotiff
+    full, _ = read_geotiff(TIF)
+    rows = []
+    for lvl in (1, 2, 3):
+        sub = full[0::2 ** lvl, 0::2 ** lvl]
+        v = sub[~np.isnan(sub)]
+        rows.append((lvl, len(v),
+                     int(np.floor(v * 16.0 + 0.5).astype(np.int64).sum())))
+    return pd.DataFrame(rows, columns=["level", "n_valid", "sum_q"]).astype(
+        {"level": "int32", "n_valid": "int64", "sum_q": "int64"})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -594,6 +611,7 @@ ALL = {
     "q55_warc_ingest": golden_q55,
     "q59_ann_ivfpq": golden_q59,
     "q61_geohash_cells": golden_q61,
+    "q66_overview_pyramid": golden_q66,
 }
 
 
