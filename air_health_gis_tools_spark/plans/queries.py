@@ -2100,6 +2100,45 @@ def q66_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PAGERANK_ITERS = 10
+
+
+def _q67_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link graph over the documents: every doc links to 3
+    targets derived from its id (covers hub/authority structure: ids
+    ≡ 0 mod 13 collect extra in-links via the +5 chain)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 5), (31, 11)):
+        e = d.selectExpr("doc_id AS src",
+                         f"pmod(doc_id * {a} + {b}, "
+                         f"{_q67_n(spark, sf_dir)}) AS dst")
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+_Q67_N_CACHE: dict[str, int] = {}
+
+
+def _q67_n(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _Q67_N_CACHE:
+        _Q67_N_CACHE[sf_dir] = _docs(spark, sf_dir).count()
+    return _Q67_N_CACHE[sf_dir]
+
+
+def q67_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm surface: PageRank over a deterministic
+    3-out link graph (operators/pagerank.py — one shuffle per iteration,
+    EXACT int64 fixed-point arithmetic so the result is identical at any
+    partitioning and in the numpy golden replay). 10 iterations, damping
+    85/100."""
+    from ..operators.pagerank import pagerank_fixed_point
+    n = _q67_n(spark, sf_dir)
+    ranks = pagerank_fixed_point(_q67_edges(spark, sf_dir), n,
+                                 iterations=PAGERANK_ITERS)
+    return ranks.select(F.col("node").alias("doc_id"), "rank_fp")
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2261,6 +2300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_salted_host_rollup": q64_salted_host_rollup,
     "q65_zorder_cells": q65_zorder_cells,
     "q66_overview_pyramid": q66_overview_pyramid,
+    "q67_pagerank": q67_pagerank,
 }
 
 # --------------------------------------------------------------------------
@@ -2350,4 +2390,5 @@ ORACLES: dict[str, str] = {
     "q64_salted_host_rollup": q64_sql(),
     "q65_zorder_cells": q65_sql(),
     "q66_overview_pyramid": _golden_sql("q66_overview_pyramid"),
+    "q67_pagerank": _golden_sql("q67_pagerank"),
 }

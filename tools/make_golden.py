@@ -595,6 +595,26 @@ def golden_q66() -> pd.DataFrame:
         {"level": "int32", "n_valid": "int64", "sum_q": "int64"})
 
 
+def golden_q67(iters: int = 10) -> pd.DataFrame:
+    """Independent numpy replay of the exact fixed-point PageRank: same
+    integer recurrence, np.add.at accumulation instead of a shuffle."""
+    SCALE = 1_000_000_000_000
+    d = _docs_pdf()
+    ids = d["doc_id"].to_numpy(np.int64)
+    n = len(ids)
+    srcs = np.concatenate([ids, ids, ids])
+    dsts = np.concatenate([(ids * 7 + 1) % n, (ids * 13 + 5) % n,
+                           (ids * 31 + 11) % n])
+    base = (100 - 85) * SCALE // 100 // n
+    rank = np.full(n, SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = rank[srcs] // 3
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dsts, contrib)
+        rank = base + (85 * acc) // 100
+    return pd.DataFrame({"doc_id": ids, "rank_fp": rank})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -612,6 +632,7 @@ ALL = {
     "q59_ann_ivfpq": golden_q59,
     "q61_geohash_cells": golden_q61,
     "q66_overview_pyramid": golden_q66,
+    "q67_pagerank": golden_q67,
 }
 
 
