@@ -22,9 +22,10 @@ to an iterative algorithm. (// truncation loses ≤ 1 unit per op — a
 1e-12 relative perturbation of the classic damping-0.85 iteration.)
 
 Scale notes: each iteration is ONE shuffle keyed by dst (map-side
-combined); ``ranks`` is persisted per iteration and the previous one
-unpersisted, and at a depth where lineage grows unwieldy a real cluster
-checkpoints (documented; 10 iterations stays well inside plan limits).
+combined); ``ranks`` is localCheckpoint-ed per iteration — lineage MUST
+truncate each round (persist alone caches data while the logical plan
+keeps growing and Catalyst re-analysis compounds per iteration); a real
+cluster uses reliable ``checkpoint()`` for fault tolerance at depth.
 """
 
 from __future__ import annotations
@@ -41,7 +42,6 @@ def pagerank_fixed_point(edges: DataFrame, n_nodes: int,
     """Exact integer PageRank. ``edges`` must cover every node as a
     source (no dangling sources; the fixture guarantees out-degree 3).
     Returns (node, rank_fp) for every node appearing anywhere."""
-    spark = edges.sparkSession
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
@@ -49,12 +49,15 @@ def pagerank_fixed_point(edges: DataFrame, n_nodes: int,
     base = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN // n_nodes
     ranks = nodes.withColumn("rank_fp",
                              F.lit(SCALE // n_nodes).cast("long"))
+    # localCheckpoint truncates lineage each round — persist alone caches
+    # data but the logical plan keeps growing and Catalyst re-analysis
+    # compounds per iteration (see operators/components.py)
     e = (edges.join(deg, src)
          .select(F.col(src).alias("node"), F.col(dst).alias("_dst"),
                  "deg")
-         .persist())
-    e.count()
-    prev = None
+         .localCheckpoint())
+    nodes = nodes.localCheckpoint()
+    ranks = ranks.localCheckpoint()
     for _ in range(iterations):
         # DIV (exact long division) — a float `/` + cast can land on the
         # wrong side of an integer boundary and break the cross-engine
@@ -68,10 +71,5 @@ def pagerank_fixed_point(edges: DataFrame, n_nodes: int,
                              F.expr(f"{base} + ({DAMP_NUM} * "
                                     f"coalesce(s, 0)) DIV {DAMP_DEN}")
                              .cast("long").alias("rank_fp")))
-        ranks_new = ranks_new.persist()
-        ranks_new.count()
-        if prev is not None:
-            prev.unpersist()
-        prev, ranks = ranks_new, ranks_new
-    e.unpersist()
+        ranks = ranks_new.localCheckpoint()   # eager: materializes now
     return ranks

@@ -2139,6 +2139,46 @@ def q67_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"), "rank_fp")
 
 
+def _q68_edges_sql() -> str:
+    """Sparse deterministic pair graph (chains + merges): docs ≡ 0 mod 3
+    pair with a multiplicative target — yields components of varied
+    size, incl. singleton-free coverage of the touched nodes."""
+    return ("SELECT doc_id AS src, "
+            "(doc_id * 17 + 3) % (SELECT count(*) FROM documents) AS dst "
+            "FROM documents WHERE doc_id % 3 = 0")
+
+
+def q68_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: min-label connected components
+    (operators/components.py — one shuffle per round, exact int64
+    labels, early stop on a changed-labels aggregate). The oracle is a
+    DuckDB RECURSIVE CTE reachability closure + min per node — a direct
+    SQL check of the iterative algorithm, no golden table."""
+    from ..operators.components import connected_components
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    edges = spark.sql(_q68_edges_sql())
+    comp = connected_components(edges)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("node").alias("max_node")))
+
+
+def q68_sql() -> str:
+    return f"""
+WITH RECURSIVE e AS ({_q68_edges_sql()}),
+sym AS (SELECT src AS a, dst AS b FROM e
+        UNION SELECT dst, src FROM e),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.node),
+labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       max(node) AS max_node
+FROM labels GROUP BY component
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2301,6 +2341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_zorder_cells": q65_zorder_cells,
     "q66_overview_pyramid": q66_overview_pyramid,
     "q67_pagerank": q67_pagerank,
+    "q68_dedup_components": q68_dedup_components,
 }
 
 # --------------------------------------------------------------------------
@@ -2391,4 +2432,5 @@ ORACLES: dict[str, str] = {
     "q65_zorder_cells": q65_sql(),
     "q66_overview_pyramid": _golden_sql("q66_overview_pyramid"),
     "q67_pagerank": _golden_sql("q67_pagerank"),
+    "q68_dedup_components": q68_sql(),
 }
