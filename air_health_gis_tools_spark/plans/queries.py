@@ -2179,6 +2179,32 @@ FROM labels GROUP BY component
 """
 
 
+def q69_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping-sets surface: ROLLUP over (lang, source) with
+    GROUPING() flags disambiguating subtotal NULLs from data NULLs —
+    Spark's ``rollup()`` vs DuckDB's ``GROUP BY ROLLUP``, identical
+    semantics, exact integer aggregates. At scale a rollup is ONE
+    shuffle: Spark expands the grouping sets map-side."""
+    d = _docs(spark, sf_dir)
+    return (d.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.grouping("lang").cast("int").alias("g_lang"),
+                 F.grouping("source").cast("int").alias("g_source")))
+
+
+def q69_sql() -> str:
+    return """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(grouping(lang) AS INT) AS g_lang,
+       CAST(grouping(source) AS INT) AS g_source
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2342,6 +2368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_overview_pyramid": q66_overview_pyramid,
     "q67_pagerank": q67_pagerank,
     "q68_dedup_components": q68_dedup_components,
+    "q69_rollup_cube": q69_rollup_cube,
 }
 
 # --------------------------------------------------------------------------
@@ -2433,4 +2460,5 @@ ORACLES: dict[str, str] = {
     "q66_overview_pyramid": _golden_sql("q66_overview_pyramid"),
     "q67_pagerank": _golden_sql("q67_pagerank"),
     "q68_dedup_components": q68_sql(),
+    "q69_rollup_cube": q69_sql(),
 }
