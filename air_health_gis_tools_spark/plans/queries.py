@@ -2205,6 +2205,31 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q70_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (the set-op shape q25's semi-join doesn't
+    cover): corpus MINUS the contamination candidates — documents whose
+    13-token shingle set hits the q46 probe set are excluded, everything
+    else aggregates per lang. Spark left_anti vs SQL NOT EXISTS; the
+    probe side stays broadcast-small at any corpus size."""
+    d = _docs(spark, sf_dir)
+    probes = q46_contamination(spark, sf_dir).select("doc_id")
+    kept = d.join(F.broadcast(probes), "doc_id", "left_anti")
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_clean"),
+                 F.sum("n_chars").alias("clean_chars")))
+
+
+def q70_sql() -> str:
+    return f"""
+WITH hits AS ({q46_sql().strip()})
+SELECT lang, CAST(count(*) AS BIGINT) AS n_clean,
+       CAST(sum(n_chars) AS BIGINT) AS clean_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+GROUP BY lang
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2369,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_pagerank": q67_pagerank,
     "q68_dedup_components": q68_dedup_components,
     "q69_rollup_cube": q69_rollup_cube,
+    "q70_anti_join": q70_anti_join,
 }
 
 # --------------------------------------------------------------------------
@@ -2461,4 +2487,5 @@ ORACLES: dict[str, str] = {
     "q67_pagerank": _golden_sql("q67_pagerank"),
     "q68_dedup_components": q68_sql(),
     "q69_rollup_cube": q69_sql(),
+    "q70_anti_join": q70_sql(),
 }
