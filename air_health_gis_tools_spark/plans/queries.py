@@ -2230,6 +2230,36 @@ GROUP BY lang
 """
 
 
+def q71_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (the ORDER-STATISTIC surface; the
+    approx path at 100 TB is approx_percentile/t-digest — this is the
+    exact twin both engines define identically): Spark ``percentile`` vs
+    DuckDB ``quantile_cont``, linear interpolation over integer inputs —
+    bit-identical (interpolation is one multiply-add on exactly
+    representable integers)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT lang,
+               percentile(n_chars, 0.5) AS p50,
+               percentile(n_chars, 0.9) AS p90,
+               percentile(n_chars, 0.99) AS p99,
+               CAST(min(n_chars) AS BIGINT) AS lo,
+               CAST(max(n_chars) AS BIGINT) AS hi
+        FROM documents GROUP BY lang""")
+
+
+def q71_sql() -> str:
+    return """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi
+FROM documents GROUP BY lang
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2395,6 +2425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_dedup_components": q68_dedup_components,
     "q69_rollup_cube": q69_rollup_cube,
     "q70_anti_join": q70_anti_join,
+    "q71_percentiles": q71_percentiles,
 }
 
 # --------------------------------------------------------------------------
@@ -2488,4 +2519,5 @@ ORACLES: dict[str, str] = {
     "q68_dedup_components": q68_sql(),
     "q69_rollup_cube": q69_sql(),
     "q70_anti_join": q70_sql(),
+    "q71_percentiles": q71_sql(),
 }
