@@ -114,6 +114,10 @@ def ensure_pages_warc(dirpath: str, n_pages: int, n_files: int) -> list[str]:
     import numpy as np
 
     from .pages import _gen_pages
+    # cache keyed by the generation parameters: a changed page/file count
+    # lands in a fresh subdirectory instead of silently reusing stale
+    # fixture bytes
+    dirpath = os.path.join(dirpath, f"n{n_pages}_f{n_files}")
     os.makedirs(dirpath, exist_ok=True)
     paths = [os.path.join(dirpath, f"part-{i:03d}.warc.gz")
              for i in range(n_files)]
