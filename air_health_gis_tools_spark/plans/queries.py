@@ -2260,6 +2260,43 @@ FROM documents GROUP BY lang
 """
 
 
+def q72_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the SimHash candidate pairs — the
+    exact-metric stage a dedup pipeline runs AFTER banding (complements
+    the Jaccard verify q32): per candidate pair, Levenshtein distance and
+    a per-mille similarity, all exact integers. Plan: the candidate set
+    (q40's banded join — no cross product) joins text twice; at 100 TB
+    the pair list is small relative to the corpus so both joins shuffle
+    only candidates."""
+    pairs = q40_simhash_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = (pairs
+           .join(d.withColumnRenamed("doc_id", "id1")
+                 .withColumnRenamed("text", "t1"), "id1")
+           .join(d.withColumnRenamed("doc_id", "id2")
+                 .withColumnRenamed("text", "t2"), "id2"))
+    return out.select(
+        "id1", "id2", "hamming",
+        F.expr("CAST(levenshtein(t1, t2) AS BIGINT)").alias("edit_dist"),
+        F.expr("CAST(1000 - (1000 * levenshtein(t1, t2)) DIV "
+               "greatest(length(t1), length(t2)) AS BIGINT)")
+        .alias("sim_permille"))
+
+
+def q72_sql() -> str:
+    return f"""
+WITH pairs AS ({q40_sql().strip()})
+SELECT p.id1, p.id2, p.hamming,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist,
+       CAST(1000 - (1000 * levenshtein(d1.text, d2.text))
+            // greatest(length(d1.text), length(d2.text)) AS BIGINT)
+         AS sim_permille
+FROM pairs p
+JOIN documents d1 ON d1.doc_id = p.id1
+JOIN documents d2 ON d2.doc_id = p.id2
+"""
+
+
 def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-tag + one window pass): each
     document probes its user's event stream for the latest event at or
@@ -2426,6 +2463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_rollup_cube": q69_rollup_cube,
     "q70_anti_join": q70_anti_join,
     "q71_percentiles": q71_percentiles,
+    "q72_editdist_verify": q72_editdist_verify,
 }
 
 # --------------------------------------------------------------------------
@@ -2520,4 +2558,5 @@ ORACLES: dict[str, str] = {
     "q69_rollup_cube": q69_sql(),
     "q70_anti_join": q70_sql(),
     "q71_percentiles": q71_sql(),
+    "q72_editdist_verify": q72_sql(),
 }
