@@ -4,13 +4,18 @@ The input-hint pages table carries both ``html:binary`` and ``text:string``
 and requires *byte-identical extracted text per url* end-to-end. This module
 IS that extraction operator: a batched Arrow kernel (``pandas_udf`` over the
 binary/string column — no per-row Python at the Spark API surface)
-implementing a deterministic extraction contract:
+implementing a deterministic extraction contract (constructs are
+recognized in POSITIONAL left-to-right order, tokenizer-style — a
+``<script>`` opener inside a comment is comment content, a ``<!--``
+inside a script is script content):
 
 1. ``<script>`` / ``<style>`` / ``<template>`` elements drop with their
    contents (case-insensitive; raw-text scan to the first matching end tag,
    HTML5 CDATA-element semantics; unclosed → drop to end of input).
 2. Comments ``<!-- … -->``, CDATA sections, ``<!…>`` declarations and
-   ``<?…>`` processing instructions drop.
+   ``<?…>`` processing instructions drop; an unterminated comment/CDATA
+   recovers exactly as CPython's HTMLParser does (literal data to the
+   next ``>``).
 3. Remaining well-formed tags are removed; BLOCK-level tags (open, close or
    self-closing) emit a newline separator, inline tags emit nothing. A ``<``
    that does not open well-formed markup is literal text (HTML5 tokenizer
@@ -60,19 +65,25 @@ _RAW = ("script", "style", "template")
 
 _ATTRS = r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"  # quote-aware: '>' OK in quotes
 
-_RAW_RE = re.compile(
-    rf"(?is)<({'|'.join(_RAW)})\b{_ATTRS}>.*?</\1\s*>")
-_RAW_OPEN_RE = re.compile(             # unclosed raw element: drop to EOF
-    rf"(?is)<({'|'.join(_RAW)})\b{_ATTRS}>.*$")
-_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
-_CDATA_RE = re.compile(r"(?s)<!\[CDATA\[.*?\]\]>")
+# ONE left-to-right scanner: markup constructs are recognized in POSITIONAL
+# order, exactly as an event tokenizer would — a `<script>` inside a
+# comment is comment content, a `<!--` inside a script is script content.
+# (The previous implementation ran ordered whole-string substitution
+# passes, so whichever construct's pass ran first won regardless of
+# position: '<!-- <script> -->rest' dropped everything to EOF while the
+# stdlib-HTMLParser oracle kept 'rest' — ADVICE r3.)
+_TOKEN_RE = re.compile(
+    rf"(?is)<(?P<raw>{'|'.join(_RAW)})\b{_ATTRS}>"   # raw-element open tag
+    r"|(?P<comment><!--)"                            # closure found in code
+    r"|(?P<cdata><!\[CDATA\[)"                       # closure found in code
+    rf"|<(/?)(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*){_ATTRS}/?>"
+    r"|<![^>]*>"                                     # declaration
+    r"|<\?[^>]*>")                                   # processing instruction
 
-# One scanner for everything that interrupts a text node: an element tag
-# (group 2 = name), a declaration, or a processing instruction.
-_MARKUP_RE = re.compile(
-    rf"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*){_ATTRS}/?>"
-    r"|<![^>]*>"
-    r"|<\?[^>]*>")
+_RAW_END = {n: re.compile(rf"(?is)</{n}\s*>") for n in _RAW}
+# CPython markupbase closers: '--  >' and '] ] >' are valid terminators.
+_COMMENT_END = re.compile(r"--\s*>")
+_CDATA_END = re.compile(r"\]\s*\]\s*>")
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
@@ -82,23 +93,56 @@ def _norm_ws(s: str) -> str:
                       s).strip(" \t\r\n\f\v")
 
 
+def _bogus_markup(s: str, start: int) -> tuple[str, int]:
+    """Unterminated comment/CDATA recovery, byte-matching CPython
+    HTMLParser's goahead() fallback: emit up to and including the next
+    '>' as literal data; failing that, up to the next '<'; failing that,
+    just the '<' — then resume tokenizing."""
+    k = s.find(">", start + 1)
+    if k >= 0:
+        return s[start:k + 1], k + 1
+    k = s.find("<", start + 1)
+    if k >= 0:
+        return s[start:k], k
+    return s[start:start + 1], start + 1
+
+
 def extract_text(html: str) -> str:
     """Extract visible text from one HTML document per the module contract."""
-    s = _RAW_RE.sub("", html)
-    s = _RAW_OPEN_RE.sub("", s)
-    s = _COMMENT_RE.sub("", s)
-    s = _CDATA_RE.sub("", s)
+    s = html
+    n = len(s)
     parts: list[str] = []
     pos = 0
-    for m in _MARKUP_RE.finditer(s):
+    while pos < n:
+        m = _TOKEN_RE.search(s, pos)
+        if m is None:
+            parts.append(unescape(s[pos:]))
+            break
         if m.start() > pos:
             parts.append(unescape(s[pos:m.start()]))
-        name = m.group(2)
-        if name is not None and name.lower() in BLOCK_TAGS:
-            parts.append("\n")
-        pos = m.end()
-    if pos < len(s):
-        parts.append(unescape(s[pos:]))
+        raw = m.group("raw")
+        if raw is not None:
+            end = _RAW_END[raw.lower()].search(s, m.end())
+            pos = end.end() if end else n     # unclosed raw: drop to EOF
+        elif m.group("comment") is not None:
+            end = _COMMENT_END.search(s, m.end())
+            if end:
+                pos = end.end()
+            else:
+                lit, pos = _bogus_markup(s, m.start())
+                parts.append(lit)             # literal, NOT unescaped
+        elif m.group("cdata") is not None:
+            end = _CDATA_END.search(s, m.end())
+            if end:
+                pos = end.end()
+            else:
+                lit, pos = _bogus_markup(s, m.start())
+                parts.append(lit)
+        else:
+            name = m.group("name")
+            if name is not None and name.lower() in BLOCK_TAGS:
+                parts.append("\n")
+            pos = m.end()
     return _norm_ws("".join(parts))
 
 

@@ -8,10 +8,13 @@ class beside PageRank (operators/pagerank.py), with exact integer labels:
 
 iterated to fixpoint — min-label propagation. Labels are node ids
 (int64), min is associative ⇒ identical at any partitioning and engine.
-Each round is ONE shuffle (edges ⋈ labels → groupBy(node).min); the label
-set halves in diameter per round, so rounds = O(log(longest path)) —
-``max_iters`` bounds the loop and the driver stops early when a round
-changes nothing (an aggregate count, not a collect of data rows).
+Each round is ONE shuffle (edges ⋈ labels → groupBy(node).min); the
+minimum label advances ONE hop per round, so rounds = O(graph diameter)
+— ``max_iters`` bounds the loop, the driver stops early when a round
+changes nothing (an aggregate count, not a collect of data rows), and
+exhausting ``max_iters`` while labels are still changing RAISES rather
+than returning silently-wrong components (ADVICE r3: a 20+-hop near-dup
+chain is exactly the dedup use case).
 
 The q68 oracle is DuckDB's recursive CTE computing the reachability
 closure and taking min per node — a DIRECT SQL check of an iterative
@@ -41,6 +44,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iters):
         neigh = (sym.join(labels, sym["b"] == labels["node"])
                  .select(F.col("a").alias("node"), F.col("label")))
@@ -54,4 +58,9 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = merged
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): the graph diameter exceeds "
+            f"max_iters — raise max_iters (rounds needed = O(diameter))")
     return labels.select("node", F.col("label").alias("component"))

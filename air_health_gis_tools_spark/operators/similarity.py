@@ -154,8 +154,13 @@ def ann_topk_ivf(df: DataFrame, qvec: list[float], k: int = 5,
     centroids are nearest the query. Recall grows with n_probe
     (n_probe = n_lists ⇒ exact); measured in tests against brute force."""
     if centroids is None:
+        # deterministic training sample: a bare LIMIT has no guaranteed
+        # membership or order under repartitioning (ADVICE r3) — pin both
+        # with orderBy(id) so the trained centroids (and the committed
+        # golden) are invariant to partitioning and corpus growth.
         sample = np.stack([r[0] for r in
-                           df.select(vec_col).limit(4096).collect()])
+                           df.select(vec_col, id_col).orderBy(id_col)
+                           .limit(4096).select(vec_col).collect()])
         centroids = ivf_train_centroids(sample, n_lists, seed=seed)
     q = np.asarray(qvec, dtype=np.float64)
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
@@ -241,8 +246,10 @@ def ann_topk_ivfpq(df: DataFrame, qvec: list[float], k: int = 5,
     Codes are built on raw vectors (no residual rotation — OPQ/residual-PQ
     are documented extensions, not implemented)."""
     if centroids is None or codebooks is None:
+        # deterministic training sample — see ann_topk_ivf (ADVICE r3)
         sample = np.stack([r[0] for r in
-                           df.select(vec_col).limit(4096).collect()])
+                           df.select(vec_col, id_col).orderBy(id_col)
+                           .limit(4096).select(vec_col).collect()])
         if centroids is None:
             centroids = ivf_train_centroids(sample, n_lists, seed=seed)
         if codebooks is None:

@@ -223,31 +223,117 @@ def split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
-def _records_pdf(path: str) -> pd.DataFrame:
+def _iter_gzip_members_file(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Stream gzip members from an OPEN file handle: at most one compressed
+    chunk + one decompressed member in memory at a time — the whole file is
+    never read at once (ADVICE r3). Common Crawl's member-per-record layout
+    makes the peak = one record."""
+    d = zlib.decompressobj(wbits=31)
+    parts: list[bytes] = []
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            break
+        data = chunk
+        while data:
+            parts.append(d.decompress(data))
+            if d.eof:                      # member boundary
+                yield b"".join(parts)
+                parts = []
+                data = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+            else:
+                data = b""
+    tail = b"".join(parts)
+    if tail:
+        yield tail
+
+
+def _iter_records_chunks(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Incremental record parser over decompressed byte chunks: complete
+    records are yielded as soon as their bytes arrive; only the unfinished
+    suffix is buffered across chunk boundaries."""
+    buf = b""
+    for chunk in chunks:
+        buf = buf + chunk if buf else chunk
+        pos = 0
+        n = len(buf)
+        while True:
+            while buf[pos:pos + 2] == CRLF:
+                pos += 2
+            hdr_end = buf.find(CRLF + CRLF, pos)
+            if hdr_end < 0:
+                break
+            lines = buf[pos:hdr_end].split(CRLF)
+            if not lines or not lines[0].startswith(b"WARC/"):
+                raise ValueError(
+                    f"not a WARC record at offset {pos}: {lines[0][:40]!r}")
+            headers: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b":")
+                headers[k.strip().decode().lower()] = v.strip().decode()
+            block_start = hdr_end + 4
+            block_end = block_start + int(headers["content-length"])
+            if block_end > n:              # record incomplete: wait
+                break
+            yield {"headers": headers,
+                   "block": buf[block_start:block_end]}
+            pos = block_end
+        buf = buf[pos:]
+    # a trailing partial record (truncated file) is dropped, matching
+    # _parse_records' find()-miss behavior on whole-buffer input
+
+
+def _stream_records(path: str) -> Iterator[dict]:
+    """Stream records from one WARC file (gzip or plain), bounded memory."""
     with open(path, "rb") as f:
-        raw = f.read()
-    rows = []
-    for i, rec in enumerate(parse_warc_bytes(raw)):
-        h = rec["headers"]
-        status = http_ctype = None
-        body = None
-        if h.get("warc-type") == "response":
-            status, http_ctype, body = split_http_response(rec["block"])
-        ts = h.get("warc-date")
-        rows.append({
-            "src_file": path,
-            "record_idx": i,
-            "warc_type": h.get("warc-type", ""),
-            "record_id": h.get("warc-record-id"),
-            "url": h.get("warc-target-uri"),
-            "warc_ts": pd.Timestamp(ts).tz_localize(None) if ts else None,
-            "content_type": h.get("content-type"),
-            "http_status": status,
-            "http_content_type": http_ctype,
-            "html": body,
-            "n_bytes": len(rec["block"]),
-        })
-    return pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA.fields])
+        magic = f.read(2)
+        f.seek(0)
+        if magic == b"\x1f\x8b":
+            chunks = _iter_gzip_members_file(f)
+        else:
+            chunks = iter(lambda: f.read(1 << 20), b"")
+        yield from _iter_records_chunks(chunks)
+
+
+def _record_row(path: str, i: int, rec: dict) -> dict:
+    h = rec["headers"]
+    status = http_ctype = None
+    body = None
+    if h.get("warc-type") == "response":
+        status, http_ctype, body = split_http_response(rec["block"])
+    ts = h.get("warc-date")
+    return {
+        "src_file": path,
+        "record_idx": i,
+        "warc_type": h.get("warc-type", ""),
+        "record_id": h.get("warc-record-id"),
+        "url": h.get("warc-target-uri"),
+        "warc_ts": pd.Timestamp(ts).tz_localize(None) if ts else None,
+        "content_type": h.get("content-type"),
+        "http_status": status,
+        "http_content_type": http_ctype,
+        "html": body,
+        "n_bytes": len(rec["block"]),
+    }
+
+
+_COLUMNS = [f.name for f in WARC_SCHEMA.fields]
+
+
+def _records_pdf_chunks(path: str,
+                        chunk_rows: int = 256) -> Iterator[pd.DataFrame]:
+    """Bounded Arrow batches from one file: records stream off disk and
+    flush every ``chunk_rows`` rows — a 1 GB crawl file never materializes
+    as one DataFrame (ADVICE r3)."""
+    rows: list[dict] = []
+    for i, rec in enumerate(_stream_records(path)):
+        rows.append(_record_row(path, i, rec))
+        if len(rows) >= chunk_rows:
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=_COLUMNS)
 
 
 def read_warc(spark: SparkSession, paths: list[str],
@@ -260,9 +346,7 @@ def read_warc(spark: SparkSession, paths: list[str],
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p in pdf["path"]:
-                out = _records_pdf(p)
-                if len(out):
-                    yield out
+                yield from _records_pdf_chunks(p)
 
     df = files.mapInPandas(_scan, WARC_SCHEMA)
     if responses_only:

@@ -15,9 +15,14 @@ Composition of three existing pieces:
   time-travel to any ingest point; a crashed batch re-runs from the
   stream checkpoint without double-committing completed batch ids.
 
-The streaming engine's exactly-once file tracking + the table's atomic
-pointer swap give end-to-end at-least-parse / exactly-one-visible
-semantics — the same contract a real Iceberg streaming sink documents.
+Exactly-once mechanics (ADVICE r3): the batch id is recorded as a
+SNAPSHOT PROPERTY inside the manifest, so "rows visible" and "batch id
+recorded" are ONE atomic pointer swap — a crash at any point either
+committed both or neither, and the replayed micro-batch checks the
+manifest (not a separate journal, which could lag the commit) before
+appending. ``_stream_batches.json`` remains as an observability sidecar
+only. This is exactly how Iceberg's streaming sink stores
+``spark.sql.streaming.*`` batch ids in the snapshot summary.
 """
 
 from __future__ import annotations
@@ -44,47 +49,60 @@ def read_warc_file_stream(spark: SparkSession, src_dir: str,
             .select("path", "length"))
 
 
+def _batch_key(batch_id: int) -> str:
+    return f"stream-batch-{batch_id}"
+
+
+def commit_warc_batch(spark: SparkSession, table: SnapshotTable,
+                      paths: list[str], batch_id: int,
+                      min_tokens: int = 0) -> int | None:
+    """Idempotently commit one micro-batch of WARC files. Returns the new
+    snapshot version, or None if ``batch_id`` is already recorded in the
+    current manifest's properties (crash-replay: rows and batch id were
+    swapped in atomically together, so 'id present' ⇔ 'rows visible')."""
+    from ..functions.html_text import html_to_text_udf
+    from ..functions.url import canonicalize_url_udf
+    from ..sources.warc import read_warc
+
+    if _batch_key(batch_id) in table.properties():
+        return None                  # replayed batch after crash: skip
+    if not paths:
+        return None                  # empty batch: replay is a no-op
+    pages = (read_warc(spark, paths, responses_only=True)
+             .filter(F.col("http_status") == 200)
+             .withColumn("text", html_to_text_udf(F.col("html")))
+             .withColumn("_c", canonicalize_url_udf(F.col("url")))
+             .select(F.col("_c.url_norm").alias("url_norm"),
+                     F.col("_c.host").alias("host"),
+                     "warc_ts", "text", "n_bytes"))
+    if min_tokens:
+        pages = pages.filter(F.size(F.split("text", " ")) >= min_tokens)
+    return table.commit(pages, "host", op="append",
+                        properties={_batch_key(batch_id):
+                                    {"n_files": len(paths)}})
+
+
 def ingest_warc_stream_once(spark: SparkSession, src_dir: str,
                             table_root: str, checkpoint: str,
                             min_tokens: int = 0) -> SnapshotTable:
     """Drain all currently-available files (``availableNow``) into the
     snapshot table: one append commit per micro-batch, rows =
     extracted pages partitioned by host."""
-    from ..functions.html_text import html_to_text_udf
-    from ..functions.url import canonicalize_url_udf
-    from ..sources.warc import read_warc
-
     table = SnapshotTable(table_root)
     done_path = os.path.join(table_root, "_stream_batches.json")
 
-    def _done() -> dict:
-        if os.path.exists(done_path):
-            with open(done_path) as f:
-                return json.load(f)
-        return {}
-
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        done = _done()
-        if str(batch_id) in done:    # replayed batch after crash: skip
-            return
         paths = [r["path"].removeprefix("file:")
                  for r in batch_df.select("path").collect()]
-        if paths:
-            pages = (read_warc(spark, paths, responses_only=True)
-                     .filter(F.col("http_status") == 200)
-                     .withColumn("text",
-                                 html_to_text_udf(F.col("html")))
-                     .withColumn("_c",
-                                 canonicalize_url_udf(F.col("url")))
-                     .select(F.col("_c.url_norm").alias("url_norm"),
-                             F.col("_c.host").alias("host"),
-                             "warc_ts", "text", "n_bytes"))
-            if min_tokens:
-                pages = pages.filter(
-                    F.size(F.split("text", " ")) >= min_tokens)
-            version = table.commit(pages, "host", op="append")
-        else:
-            version = table.current_version()
+        version = commit_warc_batch(spark, table, paths, batch_id,
+                                    min_tokens)
+        if version is None:
+            return
+        # observability sidecar ONLY — the manifest is the dedup truth
+        done = {}
+        if os.path.exists(done_path):
+            with open(done_path) as f:
+                done = json.load(f)
         done[str(batch_id)] = {"version": version, "n_files": len(paths)}
         tmp = done_path + ".tmp"
         with open(tmp, "w") as f:

@@ -22,6 +22,20 @@ def test_chain_ring_and_singleton_pair(spark):
     assert len(got) == 18
 
 
+def test_non_convergence_raises(spark):
+    """Exhausting max_iters while labels still change must RAISE, not
+    return wrong components (ADVICE r3): an 8-hop chain cannot converge
+    in 3 rounds of one-hop min-label propagation."""
+    import pytest
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    got = {r["node"]: r["component"] for r in
+           connected_components(chain, max_iters=10).collect()}
+    assert all(got[i] == 0 for i in range(9))
+
+
 def test_partition_invariance(spark):
     edges = spark.createDataFrame(
         [(i, (i * 7 + 3) % 40) for i in range(0, 40, 2)],

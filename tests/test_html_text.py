@@ -41,6 +41,15 @@ CASES = [
     "unicode é中文 &eacute; &#x4e2d;",
     "<SCRIPT SRC=\"x.js\"></SCRIPT>tail2",
     "<p>broken tag at eof <div",
+    # positional-order cases (ADVICE r3): construct openers nested inside
+    # another construct's content must not win over the outer construct
+    "<!-- <script> -->rest",
+    "<!-- <style>x</style> -->kept <b>b</b>",
+    "<script>a = \"<!--\"; x();</script>ok<!-- real -->",
+    "<script>s</script><!-- <script>t</script> -->u",
+    "a &am<!--x-->p; entity split by comment",
+    "<!-- unterminated comment > recovers like HTMLParser",
+    "<div>before<![CDATA[ <p>inside</p> ]]>after</div>",
 ]
 
 

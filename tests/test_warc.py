@@ -64,6 +64,45 @@ def test_fixture_deterministic(tmp_path):
             assert fa.read() == fb.read()
 
 
+def test_streaming_reader_bounded_batches(tmp_path):
+    """The executor-side reader streams: identical records to the
+    whole-buffer parser, flushed in bounded chunks (ADVICE r3 — a 1 GB
+    file must never materialize as one DataFrame)."""
+    from air_health_gis_tools_spark.sources.warc import (
+        _records_pdf_chunks, _stream_records)
+    for member_gzip in (True, False):
+        path = str(tmp_path / f"s{member_gzip}.warc.gz")
+        write_warc_file(path, _sample_records() * 40,
+                        member_gzip=member_gzip)
+        with open(path, "rb") as f:
+            exp = list(parse_warc_bytes(f.read()))
+        got = list(_stream_records(path))
+        assert len(got) == len(exp) == 120
+        assert all(g["headers"] == e["headers"] and
+                   g["block"] == e["block"] for g, e in zip(got, exp))
+        chunks = list(_records_pdf_chunks(path, chunk_rows=32))
+        assert [len(c) for c in chunks] == [32, 32, 32, 24]
+
+
+def test_streaming_reader_chunk_boundary_records(tmp_path):
+    """Records spanning decompress-chunk boundaries parse intact: a large
+    body forces the incremental parser to buffer across chunks."""
+    from air_health_gis_tools_spark.sources.warc import _stream_records
+    big = bytes(range(256)) * 8192          # 2 MiB body > 1 MiB chunk
+    recs = [write_warc_record("response", "https://big.example/x",
+                              "2021-01-01T00:00:00Z", "big",
+                              http_response_block(big)),
+            write_warc_record("response", "https://big.example/y",
+                              "2021-01-01T00:00:01Z", "tail",
+                              http_response_block(b"after-big"))]
+    path = str(tmp_path / "big.warc")
+    write_warc_file(path, recs, member_gzip=False)
+    got = list(_stream_records(path))
+    assert len(got) == 2
+    assert split_http_response(got[0]["block"])[2] == big
+    assert split_http_response(got[1]["block"])[2] == b"after-big"
+
+
 def test_distributed_scan_matches_serial(spark, tmp_path):
     paths = ensure_pages_warc(str(tmp_path / "warc"), 512, 4)
     df = read_warc(spark, paths)

@@ -11,8 +11,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from air_health_gis_tools_spark.sources.warc import ensure_pages_warc
-from air_health_gis_tools_spark.streaming.warc_ingest import \
-    ingest_warc_stream_once
+from air_health_gis_tools_spark.streaming.warc_ingest import (
+    commit_warc_batch, ingest_warc_stream_once)
 
 
 def _land(tmp_path, src, names):
@@ -59,3 +59,28 @@ def test_incremental_ingest_and_parity(spark, tmp_path):
     # host partitioning drove the snapshot layout
     hosts = t.read(spark).select("host").distinct().count()
     assert hosts > 100
+
+
+def test_crash_replay_is_exactly_once(spark, tmp_path):
+    """ADVICE r3: batch id and rows swap in atomically — replaying a
+    committed micro-batch (crash AFTER the manifest commit, with or
+    without the sidecar journal) must not append the rows again."""
+    from air_health_gis_tools_spark.plans.lineage import SnapshotTable
+    fx = ensure_pages_warc(str(tmp_path / "fx"), 256, 2)
+    table = SnapshotTable(str(tmp_path / "tbl"))
+
+    v1 = commit_warc_batch(spark, table, fx, batch_id=0)
+    assert v1 == 1
+    n = table.read(spark).count()
+    assert n == 256
+    # crash-replay of the same batch: manifest already records it → no-op
+    assert commit_warc_batch(spark, table, fx, batch_id=0) is None
+    assert table.current_version() == v1
+    assert table.read(spark).count() == n
+    # a genuinely NEW batch still appends
+    v2 = commit_warc_batch(spark, table, fx[:1], batch_id=1)
+    assert v2 == 2 and table.read(spark).count() == n + 128
+    # properties survive compaction (carried forward, not dropped)
+    table.compact(spark)
+    assert "stream-batch-0" in table.properties()
+    assert "stream-batch-1" in table.properties()
