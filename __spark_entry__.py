@@ -8,7 +8,7 @@ webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
 canonicalization q56, as-of join q57, repetition signals q58 — plus
 IVF-PQ ANN q59, spec-pinned web tile indexes q60/q61 (slippy+quadkey,
 geohash with published vectors), BM25 scoring q62 and event
-sessionization q63, salted skew-defense rollup q64, Z-order layout keys q65, overview-pyramid stats on the real raster q66, exact fixed-point PageRank q67, dedup connected components q68, ROLLUP grouping sets q69, decontamination anti-join q70, exact percentiles q71, edit-distance pair verify q72);
+sessionization q63, salted skew-defense rollup q64, Z-order layout keys q65, overview-pyramid stats on the real raster q66, exact fixed-point PageRank q67, dedup connected components q68, ROLLUP grouping sets q69, decontamination anti-join q70, exact percentiles q71, edit-distance pair verify q72, the collapsed-dedup-groups composition q73);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only
@@ -23,6 +23,14 @@ cannot read directly, a stdlib-HTMLParser re-extraction for q54, and a
 generator-direct expected table for the WARC chain q55). q56's oracle
 CONSTRUCTS expected canonical URLs from doc_id; q57's oracle is DuckDB's
 native ASOF LEFT JOIN.
+
+NOTE on CORRECTNESS_r{N}.json coverage: the round driver's comparison file
+has covered exactly q01–q50 since r3 (a ~50-query cap in the driver
+harness, observed empirically — r3 registry had 72 queries, driver file
+had 50 rows, all green). The committed harness ``tools/verify_entry.py``
+runs the FULL registry against the same oracles with the same
+shape+column-sorted-value-hash compare and is the per-round gate for
+q51+; keep it at N/N green.
 """
 
 from __future__ import annotations

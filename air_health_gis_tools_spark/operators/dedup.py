@@ -95,22 +95,44 @@ def minhash_base_hash_sql_duckdb() -> str:
             f"% {MINHASH_P})")
 
 
+def _cap_band_buckets(banded: DataFrame, max_bucket: int | None
+                      ) -> DataFrame:
+    """Hot-bucket defense for band self-joins (VERDICT r3): a degenerate
+    band value shared by B rows makes the self-equi-join emit B² pairs —
+    at web scale, millions of boilerplate/empty documents share a band
+    and one bucket goes quadratic. With ``max_bucket`` set, buckets
+    larger than the cap are EXCLUDED from pair generation (their members
+    are exact-or-near duplicates of each other en masse — the exact-dedup
+    digest pass, which is linear, is the right tool for them; compose via
+    ``collapsed_neardup_edges``). The per-bucket count is one map-side-
+    combined groupBy on the SAME key the join shuffles on, so the plan
+    re-uses the partitioning it already needed."""
+    if max_bucket is None:
+        return banded
+    counts = (banded.groupBy("band", "val")
+              .agg(F.count(F.lit(1)).alias("_bucket_n")))
+    return (banded.join(counts, ["band", "val"])
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n"))
+
+
+def band_overflow_report(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, val, n) for buckets the cap would drop — the logging side of
+    the overflow filter; run it as its own cheap job when auditing."""
+    return (banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket))
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs sharing ≥ 1 band (here 1 row per shared
     band = 1 signature column, rows_per_band = k/bands = 1 for the default
-    k=4). Self-equi-join on (band_idx, band_val), id1 < id2."""
-    k = len([c for c in sig.columns if c.startswith("mh_")])
-    per = max(k // bands, 1)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{i}").cast("string")
-                 for i in range(b * per, (b + 1) * per)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.concat_ws("_", *parts).alias("val")))
-    banded = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
-              .select(id_col, F.col("bv.band").alias("band"),
-                      F.col("bv.val").alias("val")))
+    k=4). Self-equi-join on (band_idx, band_val), id1 < id2.
+    ``max_bucket`` enables the hot-bucket cap (see _cap_band_buckets)."""
+    banded = lsh_banded(sig, bands, id_col)
+    banded = _cap_band_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col(f"a.band") == F.col(f"b.band"))
@@ -121,9 +143,25 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
             .distinct())
 
 
+def lsh_banded(sig: DataFrame, bands: int = 4,
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, band, val): the exploded band table behind lsh_candidate_pairs."""
+    k = len([c for c in sig.columns if c.startswith("mh_")])
+    per = max(k // bands, 1)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}").cast("string")
+                 for i in range(b * per, (b + 1) * per)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws("_", *parts).alias("val")))
+    return (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
+            .select(id_col, F.col("bv.band").alias("band"),
+                    F.col("bv.val").alias("val")))
+
+
 def simhash_banded_pairs(sig: DataFrame, bits: int, ham_max: int,
-                         id_col: str = "doc_id", sig_col: str = "simhash"
-                         ) -> DataFrame:
+                         id_col: str = "doc_id", sig_col: str = "simhash",
+                         max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(sig) ≤ ham_max via PIGEONHOLE BANDING —
     the scale-safe replacement for the all-pairs ``a.id < b.id`` join.
 
@@ -152,6 +190,7 @@ def simhash_banded_pairs(sig: DataFrame, bits: int, ham_max: int,
                          F.explode(F.array(*band_cols)).alias("bv"))
               .select(id_col, sig_col, F.col("bv.band").alias("band"),
                       F.col("bv.val").alias("val")))
+    banded = _cap_band_buckets(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.val") == F.col("b.val"))
@@ -167,6 +206,42 @@ def simhash_banded_pairs(sig: DataFrame, bits: int, ham_max: int,
                 .cast("long"))
             .filter(F.col("hamming") <= ham_max)
             .select("id1", "id2", "hamming"))
+
+
+def collapsed_neardup_edges(docs: DataFrame, n: int = 5, k: int = 4,
+                            bands: int = 4, max_bucket: int | None = 1024,
+                            text_col: str = "text", id_col: str = "doc_id"
+                            ) -> DataFrame:
+    """Scale-safe near-dup edge generation (VERDICT r3 hot-bucket fix,
+    composed): collapse EXACT duplicates through the digest groups first
+    — so a million byte-identical boilerplate pages contribute ONE
+    representative to the band join instead of a quadratic bucket — then
+    MinHash-LSH over representatives only, with the band-bucket cap as
+    the backstop for near- (not exact-) duplicate floods. Returns the
+    undirected edge list (id1, id2):
+
+      - (keep_id, member) for every exact-duplicate group member — linear
+        in corpus size by construction;
+      - (rep1, rep2) LSH candidate pairs among representatives.
+
+    Feeding these edges to connected_components yields the same dedup
+    GROUPS as the uncollapsed pipeline (exact dups share all bands with
+    their representative, so transitively they land in the same
+    component) while candidate-pair count stays linear on degenerate
+    corpora — the pytest with 10k identical docs asserts exactly that."""
+    groups = exact_dedup_groups(docs, text_col, id_col)
+    exact_edges = (docs.select(F.md5(F.col(text_col)).alias("digest"),
+                               F.col(id_col))
+                   .join(groups.select("digest", "keep_id"), "digest")
+                   .filter(F.col(id_col) != F.col("keep_id"))
+                   .select(F.col("keep_id").alias("id1"),
+                           F.col(id_col).alias("id2")))
+    reps = (docs.join(groups.select(F.col("keep_id").alias(id_col)),
+                      id_col, "left_semi"))
+    sig = minhash_signature(reps, n, k, text_col, id_col)
+    rep_pairs = lsh_candidate_pairs(sig, bands, id_col,
+                                    max_bucket=max_bucket)
+    return exact_edges.unionByName(rep_pairs)
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 5,

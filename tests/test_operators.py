@@ -270,6 +270,19 @@ def test_pip_kernel_equals_join_strategy(spark, pts):
     assert len(a) == polys.count()
 
 
+def test_pip_kernel_refuses_large_dim(spark, pts):
+    """VERDICT r3 #8: the CSR-grid kernel builds a driver-side structure
+    over the polygon dim — a large dim must be refused explicitly, not
+    accepted and OOMed."""
+    import pytest
+    from air_health_gis_tools_spark.operators.pip import \
+        pip_circle_counts_np
+    from air_health_gis_tools_spark.plans.queries import polys_df
+    polys = polys_df(spark)
+    with pytest.raises(ValueError, match="max_polys"):
+        pip_circle_counts_np(pts, polys, max_polys=polys.count() - 1)
+
+
 def test_convolve_plane_variant_matches_zonal_means(spark):
     """convolve_sum_count_tiles (the plane-materializing Method-1 half,
     used when the focal raster itself is the product) must agree with the

@@ -80,3 +80,40 @@ def test_q28_topk_no_global_sort(spark):
     p = plan_of(Q.q28_topk_quality(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
     assert "+- Sort" not in p
+
+
+def test_q74_approx_within_bound_of_exact(spark):
+    """VERDICT r3 #5: the approx-percentile sketch's VALUE must sit within
+    the rank-error bound of the exact order statistic, per group, at
+    sf0.01 — the assertion behind q74's contract flags, checked here
+    against q71's exact percentiles directly."""
+    import math
+    sf = SF_DIR.replace("sf0.001", "sf0.01")
+    exact = {r["lang"]: r for r in
+             Q.q71_percentiles(spark, sf).collect()}
+    docs = Q._docs(spark, sf).select("lang", "n_chars").toPandas()
+    ap = {r["lang"]: r for r in spark.sql(f"""
+        SELECT lang,
+               approx_percentile(n_chars, array(0.5, 0.9, 0.99),
+                                 {Q.Q74_ACCURACY}) AS a,
+               count(*) AS n
+        FROM {{d}} GROUP BY lang""", d=Q._docs(spark, sf)).collect()}
+    for lang, row in ap.items():
+        vals = sorted(docs[docs["lang"] == lang]["n_chars"])
+        n = row["n"]
+        for i, q in enumerate(Q.Q74_QS):
+            approx = row["a"][i]
+            # rank-error contract: the returned element's rank is within
+            # n/accuracy (+small slack) of the target rank
+            rank = sum(1 for v in vals if v <= approx)
+            assert abs(rank - q * n) <= n / Q.Q74_ACCURACY + 2.0, (
+                lang, q, rank, n)
+            # and therefore the VALUE lies between the order statistics
+            # bracketing that rank window
+            lo = vals[max(0, math.floor(q * n - n / Q.Q74_ACCURACY) - 2)]
+            hi = vals[min(n - 1,
+                          math.ceil(q * n + n / Q.Q74_ACCURACY) + 1)]
+            assert lo <= approx <= hi, (lang, q, approx, lo, hi)
+            # sanity vs the exact interpolated percentile from q71
+            p_exact = exact[lang][f"p{int(q * 100)}"]
+            assert abs(approx - p_exact) <= (hi - lo) + 1, (lang, q)
