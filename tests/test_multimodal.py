@@ -80,12 +80,76 @@ def test_resize_images(spark):
         assert bytes(out[i]["payload"]) == media_row(i)[2]
 
 
+def test_y4m_roundtrip():
+    """encode→decode returns the SOURCE planes bit-for-bit, for every
+    chroma layout."""
+    from air_health_gis_tools_spark.sources.y4m import (y4m_decode,
+                                                        y4m_encode)
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 2, 2), (5, 24, 32), (3, 8, 48)]:
+        y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        for cshape in [(h // 2, w // 2), (h, w // 2), (h, w), None]:
+            if cshape is None:
+                data = y4m_encode(y)
+                y2, u2, v2, info = y4m_decode(data)
+                assert u2 is None and v2 is None
+            else:
+                u = rng.integers(0, 256, (n,) + cshape, dtype=np.uint8)
+                v = rng.integers(0, 256, (n,) + cshape, dtype=np.uint8)
+                data = y4m_encode(y, u, v, fps=(30, 1))
+                y2, u2, v2, info = y4m_decode(data)
+                assert np.array_equal(u2, u) and np.array_equal(v2, v)
+            assert np.array_equal(y2, y)
+            assert (info["width"], info["height"],
+                    info["n_frames"]) == (w, h, n)
+
+
+def test_y4m_rejects_garbage_and_truncation():
+    import pytest as _pytest
+    from air_health_gis_tools_spark.sources.y4m import (y4m_decode,
+                                                        y4m_encode)
+    with _pytest.raises(ValueError):
+        y4m_decode(b"RIFF not a y4m")
+    good = y4m_encode(np.zeros((2, 4, 4), np.uint8))
+    with _pytest.raises(ValueError):
+        y4m_decode(good[:-3])
+
+
+def test_video_decode_matches_source_planes():
+    """Video parity twin of test_decode_matches_source_pixels: the
+    fixture's plane generator never touches the decoder."""
+    from air_health_gis_tools_spark.operators.multimodal import (
+        media_video_planes, video_feature)
+    from air_health_gis_tools_spark.sources.y4m import y4m_decode
+    for i in (2, 5, 41, 98):
+        mid, kind, payload, w, h, dur = media_row(i)
+        assert kind == "video"
+        y, u, v = media_video_planes(i)
+        y2, u2, v2, info = y4m_decode(payload)
+        assert np.array_equal(y2, y)
+        assert np.array_equal(u2, u) and np.array_equal(v2, v)
+        assert (info["width"], info["height"]) == (w, h)
+        assert dur == y.shape[0] * 40          # 25 fps
+        assert np.array_equal(video_feature(y2, u2, v2),
+                              video_feature(y, u, v))
+
+
 def test_sample_frames(spark):
+    from air_health_gis_tools_spark.operators.multimodal import \
+        media_video_planes
     media = synthetic_media(spark, 30)
-    frames = sample_frames(media, frame_bytes=64, every_k=4).collect()
+    frames = sample_frames(media, every_k=4).collect()
     assert frames, "no frames sampled"
     ids = {r["media_id"] for r in frames}
     assert all(i % 3 == 2 for i in ids)  # only video rows
-    for r in frames[:10]:
+    for r in frames:
         assert r["frame_no"] % 4 == 0
-        assert len(r["frame"]) == 64
+        assert len(r["frame"]) == r["width"] * r["height"]
+    # sampled luma planes are the SOURCE frames, demuxed for real
+    y, _, _ = media_video_planes(2)
+    got = {r["frame_no"]: r for r in frames if r["media_id"] == 2}
+    assert set(got) == set(range(0, y.shape[0], 4))
+    for fno, r in got.items():
+        arr = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(
+            r["height"], r["width"])
+        assert np.array_equal(arr, y[fno])

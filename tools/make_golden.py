@@ -207,8 +207,8 @@ def golden_q30() -> pd.DataFrame:
 
 def golden_q31(n: int = 200) -> pd.DataFrame:
     from air_health_gis_tools_spark.operators.multimodal import (
-        audio_feature, byte_histogram_feature, image_feature,
-        media_audio_samples, media_image_array, media_row)
+        audio_feature, image_feature, media_audio_samples,
+        media_image_array, media_row, media_video_planes, video_feature)
     agg: dict[str, list] = {}
     for i in range(n):
         mid, kind, payload, w, h, _ = media_row(i)
@@ -219,7 +219,9 @@ def golden_q31(n: int = 200) -> pd.DataFrame:
             # q31's hash proves wav_encode→wav_decode fidelity
             feat0 = audio_feature(media_audio_samples(i))[0]
         else:
-            feat0 = byte_histogram_feature(payload)[0]
+            # SOURCE planes — the Y4M decoder is never invoked here, so
+            # q31's hash proves y4m_encode→y4m_decode fidelity (r4)
+            feat0 = video_feature(*media_video_planes(i))[0]
         f0q = int(np.floor(np.float64(feat0) * 1024 + 0.5))
         a = agg.setdefault(kind, [0, 0, 0])
         a[0] += 1
