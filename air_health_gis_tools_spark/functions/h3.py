@@ -18,11 +18,22 @@ them from memory would produce silently-wrong ids):
   official library. The geometry/constants seam is `_build_icosa` +
   `_build_bases`; dropping in the official tables there would emit
   official ids.
-- the 12 vertex base cells are modeled as owner-face hexagons spanning 5
-  faces (official H3 models them as pentagons: 6 children, deleted K
-  axis). Child counts at vertex cells therefore differ (7 vs 6).
 - hex rounding uses exact nearest-center cube rounding (provably the
   Voronoi assignment) rather than H3's branch-structured equivalent.
+
+Pentagon topology (r4, VERDICT r3 #1): the 12 vertex base cells are TRUE
+pentagons with the spec's deleted-K-axis subdigit rule — a vertex-base id
+whose leading nonzero digit is K is invalid; encode applies the official
+60-degree ccw digit rotation (`_h3RotatePent60ccw` semantics, the rotation
+table re-derived from this module's own digit geometry) whenever rounding
+lands a point on a K-leading path; pentagons have 6 children (the center
+child is again a pentagon) and 5 neighbors; compact promotes a pentagon
+parent at 6 children. Geometric caveat, documented: this engine projects
+a vertex cell's whole neighborhood through ONE home face, so the K wedge
+holds real sphere area which the rotation folds into the IK-ward cells —
+official H3's per-face pentagon grids have no area there. Topology is
+spec-conformant; cell areas adjacent to the 12 pentagons distort (~2x for
+one neighbor per pentagon per res).
 
 Everything else matches the spec mechanically: parent = digit truncation
 (exact), aperture-7 class alternation, k-ring via ijk disks, compact /
@@ -318,6 +329,39 @@ def _digits(h: np.ndarray, res: int) -> np.ndarray:
                     axis=1) if res else np.empty((len(h), 0), dtype=np.int64)
 
 
+# 60-degree ccw rotation of a single digit (C K J JK I IK IJ order),
+# re-derived from _DIGIT_VEC by rotating each axial vector pi/3 ccw —
+# identical to the official coordijk.c _rotate60ccw table.
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)
+
+
+def _leading_nonzero_digit(h: np.ndarray) -> np.ndarray:
+    """First nonzero digit of each id (0 if all-center), vectorized —
+    H3's _h3LeadingNonZeroDigit."""
+    h = np.asarray(h, dtype=np.int64)
+    res = cell_resolution(h)
+    out = np.zeros(len(h), dtype=np.int64)
+    found = np.zeros(len(h), dtype=bool)
+    for rr in range(MAX_RES):
+        d = (h >> (3 * (14 - rr))) & 7
+        use = ~found & (rr < res) & (d != 0)
+        out[use] = d[use]
+        found |= use
+    return out
+
+
+def is_pentagon(h: np.ndarray) -> np.ndarray:
+    """True for the 12 pentagon cells per res: vertex base + all-center
+    digit path (the spec's pentagon set — 12 at every resolution)."""
+    h = np.asarray(h, dtype=np.int64)
+    res = cell_resolution(h)
+    ok = BASE_IS_VERTEX[cell_base(h)].copy()
+    for rr in range(MAX_RES):
+        d = (h >> (3 * (14 - rr))) & 7
+        ok &= (rr >= res) | (d == 0)
+    return ok
+
+
 def is_valid_cell(h: np.ndarray) -> np.ndarray:
     h = np.asarray(h, dtype=np.int64)
     mode_ok = ((h >> 59) & 0xF) == _MODE_CELL
@@ -328,6 +372,11 @@ def is_valid_cell(h: np.ndarray) -> np.ndarray:
         d = (h >> (3 * (14 - rr))) & 7
         used = rr < res
         ok &= np.where(used, d < 7, d == 7)
+    # deleted K subsequence: a pentagon base id leading with the K digit
+    # does not exist (official isValidCell rejects it identically)
+    safe_base = np.where(base_ok, cell_base(h), 0)
+    ok &= ~(base_ok & BASE_IS_VERTEX[safe_base]
+            & (_leading_nonzero_digit(h) == 1))
     return ok
 
 
@@ -360,6 +409,24 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
         moved = home != f[todo]
         f[todo[moved]] = home[moved]
         todo = todo[moved]
+    if res:
+        # deleted-K-axis rule: a point rounding onto a pentagon's K-leading
+        # subdigit path rotates 60 deg ccw (all digits), folding the K
+        # wedge into the IK-ward cells — _h3RotatePent60ccw semantics.
+        # Self-consistent with decode: the rotated id's center lies in a
+        # non-K wedge, so re-encoding it needs no rotation (round-trip).
+        vert = BASE_IS_VERTEX[base]
+        if vert.any():
+            lead = np.zeros(n, dtype=np.int64)
+            found = np.zeros(n, dtype=bool)
+            for rr in range(res):
+                d = digits[:, rr]
+                use = ~found & (d != 0)
+                lead[use] = d[use]
+                found |= use
+            rot = vert & (lead == 1)
+            if rot.any():
+                digits[rot] = _ROT_CCW[digits[rot]]
     return _pack(res, base, digits)
 
 
@@ -393,15 +460,21 @@ def cell_to_parent(h: np.ndarray, parent_res: int) -> np.ndarray:
 
 
 def cell_to_children(h: int, child_res: int) -> np.ndarray:
-    """All aperture-7 descendants at child_res (7^(child_res-res) ids)."""
+    """All aperture-7 descendants at child_res: 7 per hexagon level, 6 per
+    pentagon level (the K child is deleted; the center child of a pentagon
+    is again a pentagon — spec cellToChildren semantics)."""
     res = int(cell_resolution(np.array([h]))[0])
     assert child_res >= res
     out = np.array([np.int64(h)])
+    pent = is_pentagon(out)
+    digs = np.arange(7, dtype=np.int64)
     for rr in range(res, child_res):
-        out = (out[:, None]
-               & ~(np.int64(7) << (3 * (14 - rr)))) \
-            | (np.arange(7, dtype=np.int64)[None, :] << (3 * (14 - rr)))
-        out = out.ravel()
+        kids = (out[:, None] & ~(np.int64(7) << (3 * (14 - rr)))) \
+            | (digs[None, :] << (3 * (14 - rr)))
+        keep = ~(pent[:, None] & (digs[None, :] == 1))
+        newpent = pent[:, None] & (digs[None, :] == 0)
+        out = kids[keep]
+        pent = newpent[keep]
     out = (out & ~(np.int64(0xF) << 52)) | (np.int64(child_res) << 52)
     return out
 
@@ -428,7 +501,8 @@ def grid_disk(h: int, k: int) -> np.ndarray:
 
 
 def compact_cells(cells: np.ndarray) -> np.ndarray:
-    """Replace every complete 7-sibling set by its parent, recursively."""
+    """Replace every complete sibling set by its parent, recursively —
+    7 siblings per hexagon parent, 6 per pentagon parent (deleted K)."""
     cells = np.unique(np.asarray(cells, dtype=np.int64))
     out: list[np.ndarray] = []
     cur = cells
@@ -442,7 +516,7 @@ def compact_cells(cells: np.ndarray) -> np.ndarray:
         keep = cur[res != top]
         parents = cell_to_parent(at, int(top) - 1)
         uniq, counts = np.unique(parents, return_counts=True)
-        full = uniq[counts == 7]
+        full = uniq[counts == np.where(is_pentagon(uniq), 6, 7)]
         promoted = np.isin(parents, full)
         out.append(at[~promoted])
         cur = np.unique(np.concatenate([keep, full]))

@@ -60,9 +60,10 @@ def test_res0_covers_exactly_122_cells():
     lat, lng = _rand_points(60000, 2)
     c = h3.latlng_to_cell(lat, lng, 0)
     assert len(np.unique(c)) == 122
-    # res 1: every one of the 122*7 children observed
+    # res 1: the spec's cell count 110*7 + 12*6 + ... = 120*7 + 2 = 842
+    # (12 pentagons have 6 children each) — every one observed
     c1 = h3.latlng_to_cell(lat, lng, 1)
-    assert len(np.unique(c1)) == 854
+    assert len(np.unique(c1)) == 842
 
 
 def test_center_roundtrip():
@@ -166,6 +167,116 @@ def test_cell_size_scaling():
     r56 = sizes[5] / sizes[6]
     assert 2.2 < r45 < 3.1, r45     # sqrt7 ~ 2.646
     assert 2.2 < r56 < 3.1, r56
+
+
+def _pentagons_res0():
+    bases = h3._pack(0, np.arange(122, dtype=np.int64),
+                     np.empty((122, 0), dtype=np.int64))
+    return bases[h3.is_pentagon(bases)]
+
+
+def test_pentagon_set_and_validity():
+    """Exactly 12 pentagons at every resolution; K-leading vertex-base ids
+    are invalid (deleted subsequence)."""
+    pents = _pentagons_res0()
+    assert len(pents) == 12
+    for res in (1, 3, 7):
+        at_res = np.concatenate(
+            [h3.cell_to_children(int(p), res) for p in pents])
+        pr = at_res[h3.is_pentagon(at_res)]
+        assert len(pr) == 12        # one center pentagon per lineage
+        assert h3.is_valid_cell(at_res).all()
+    # fabricate a K-leading id under a pentagon: must be invalid
+    p = int(pents[0])
+    bad = np.int64((p & ~(np.int64(0xF) << 52) & ~(np.int64(7) << 42))
+                   | (np.int64(1) << 52) | (np.int64(1) << 42))
+    assert not bool(h3.is_valid_cell(np.array([bad]))[0])
+    # the same digits under a NON-pentagon base are valid
+    hexb = int(np.flatnonzero(~h3.BASE_IS_VERTEX)[0])
+    hexbase = h3._pack(0, np.array([hexb], dtype=np.int64),
+                       np.empty((1, 0), dtype=np.int64))
+    good = np.int64((int(hexbase[0]) & ~(np.int64(0xF) << 52)
+                     & ~(np.int64(7) << 42))
+                    | (np.int64(1) << 52) | (np.int64(1) << 42))
+    assert bool(h3.is_valid_cell(np.array([good]))[0])
+
+
+def test_pentagon_children_count_and_roundtrip():
+    """Pentagons have 6 children at every res (count(r) = 7*count(r-1)-1
+    per lineage); children invert the parent; compact/uncompact
+    round-trips on the pentagon set."""
+    pents = _pentagons_res0()
+    for p in pents[:4]:
+        n = 1
+        for cr in (1, 2, 3):
+            ch = h3.cell_to_children(int(p), cr)
+            n = n * 7 - 1
+            assert len(ch) == n, (p, cr)
+            assert len(np.unique(ch)) == n
+            assert (h3.cell_to_parent(ch, 0) == p).all()
+            assert h3.is_valid_cell(ch).all()
+    # compact promotes a pentagon parent at SIX children
+    child = h3.uncompact_cells(pents, 2)
+    assert len(child) == 12 * 41
+    back = h3.compact_cells(child)
+    assert np.array_equal(np.sort(back), np.sort(pents))
+    # dropping one child prevents promotion of that lineage only
+    partial = child[1:]
+    comp = h3.compact_cells(partial)
+    assert len(comp) > 12
+
+
+def test_pentagon_has_five_neighbors():
+    """k-ring(1) of every pentagon = the pentagon + exactly 5 neighbors
+    (spec: pentagons have 5 neighbors; the K-ward wedge folds away)."""
+    for res in (0, 1, 2):
+        for p0 in _pentagons_res0()[:6]:
+            p = int(h3.cell_to_children(int(p0), res)[0]) if res else \
+                int(p0)
+            assert bool(h3.is_pentagon(np.array([p]))[0])
+            disk = h3.grid_disk(p, 1)
+            assert len(disk) == 6, (p, res, len(disk))
+            assert p in disk.tolist()
+            assert h3.is_valid_cell(disk).all()
+
+
+def test_encode_total_cell_count_res1():
+    """Encode saturates exactly the valid res-1 id set (842 = 120*7+2):
+    no K-leading ids emitted, every legal cell reachable."""
+    lat, lng = _rand_points(200000, 11)
+    c1 = h3.latlng_to_cell(lat, lng, 1)
+    assert h3.is_valid_cell(c1).all()
+    assert len(np.unique(c1)) == 842
+    lead = h3._leading_nonzero_digit(c1)
+    vert = h3.BASE_IS_VERTEX[h3.cell_base(c1)]
+    assert not bool((vert & (lead == 1)).any())
+
+
+def test_pentagon_center_roundtrip():
+    """Encoded cells around every icosahedron vertex round-trip
+    encode(decode_center) == id exactly — the deleted-K rotation is
+    self-consistent with decode (a rotated id's center lies in a non-K
+    wedge, so re-encoding needs no rotation)."""
+    rng = np.random.default_rng(5)
+    lats, lngs = [], []
+    for v in h3.VERTS:
+        lat0 = np.degrees(np.arcsin(np.clip(v[2], -1, 1)))
+        lng0 = np.degrees(np.arctan2(v[1], v[0]))
+        r = rng.uniform(0, 3.0, 2000)
+        a = rng.uniform(0, 2 * np.pi, 2000)
+        lat = np.clip(lat0 + r * np.cos(a), -89.9, 89.9)
+        lng = lng0 + r * np.sin(a) / np.maximum(
+            np.cos(np.radians(lat)), 1e-3)
+        lats.append(lat)
+        lngs.append(lng)
+    lat = np.concatenate(lats)
+    lng = np.concatenate(lngs)
+    for res in (1, 2, 4, 7, 9):
+        c = h3.latlng_to_cell(lat, lng, res)
+        assert h3.is_valid_cell(c).all()
+        clat, clng = h3.cell_to_latlng(c)
+        c2 = h3.latlng_to_cell(clat, clng, res)
+        assert (c == c2).all(), res
 
 
 def test_vertex_cells_unify_across_faces():
