@@ -2337,18 +2337,25 @@ def q74_approx_percentile_check(spark: SparkSession, sf_dir: str
         f"AS BIGINT) AS ok_p{int(q * 100)}"
         for i, q in enumerate(Q74_QS))
     ranks = ", ".join(
-        f"(SELECT count(*) FROM documents d2 WHERE d2.lang = ap.lang "
-        f"AND d2.n_chars <= element_at(ap.a, {i + 1})) AS rank_{i}"
+        f"sum(CASE WHEN d.n_chars <= element_at(ap.a, {i + 1}) "
+        f"THEN 1 ELSE 0 END) AS rank_{i}"
         for i in range(len(Q74_QS)))
+    # two scans total: one sketch pass, one broadcast equi-join + condi-
+    # tional rank count (the tiny per-group sketch table broadcasts; no
+    # nested-loop decorrelation, plan-audit clean)
     return spark.sql(f"""
         WITH ap AS (
           SELECT lang,
                  approx_percentile(n_chars, array({qs}), {Q74_ACCURACY})
                    AS a,
                  count(*) AS n
-          FROM documents GROUP BY lang)
-        SELECT lang, CAST(n AS BIGINT) AS n, {checks}
-        FROM (SELECT ap.lang, ap.n, {ranks} FROM ap)""")
+          FROM documents GROUP BY lang),
+        ranks AS (
+          SELECT /*+ BROADCAST(ap) */ d.lang,
+                 max(ap.n) AS n, {ranks}
+          FROM documents d JOIN ap ON d.lang = ap.lang
+          GROUP BY d.lang)
+        SELECT lang, CAST(n AS BIGINT) AS n, {checks} FROM ranks""")
 
 
 def q74_sql() -> str:
