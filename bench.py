@@ -76,10 +76,13 @@ def main():
 
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     only = set(only.split(",")) if only else None
-    # best-of-2 by default: this box shows ±2x run-to-run noise (shared
-    # host); min-of-reps inside one process rejects most of it while the
-    # full suite stays far inside the driver's timeout
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-3 by default (r4, was 2): this box shows ±50% run-to-run
+    # noise from the SHARED HOST (r4 evidence: identical code, idle guest,
+    # back-to-back suite walls of 29.8s and 20.5s; the r3 "+8.6% vs r2"
+    # delta is inside that band — see BENCH/BASELINE.md caveats).
+    # Min-of-reps inside one process rejects most of it while the full
+    # suite stays far inside the driver's timeout.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run(name, fn):
         if only is not None and name not in only:

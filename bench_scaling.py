@@ -109,19 +109,28 @@ def main():
         "cells at 100 TB — map-side combine carries the growth); the other "
         "queries multiply distinct points.",
         "",
-        "Strategy-crossover evidence (planner's Method-1 gate): at mult 8 "
-        "(4.8M points, same input) convolve_all beats the tiled cogroup "
-        "~3x — its cost is one whole-raster convolution plus an "
-        "O(points) gather. r3: the fused kernel's chord gather is chunked "
-        "(row-sorted 2048-point slices, cache-resident temporaries — the "
-        "whole-batch form was memory-bus bound at ~0.5 eff) and "
-        "superblock size is now DATA-adaptive (smallest power-of-2 "
-        "containing the halo with tile fan-out <= 2x; identical plan at "
-        "every cluster size, 4x the tasks on the small raster). "
-        "`q33_convolve_stage_big` measures the convolution STAGE on a "
-        "16384x12288 raster (3072 tiles — the task-rich 100 TB regime) "
-        "and `q01_zonal_convolve_all_big` the fused convolve+gather op "
-        "end-to-end on the same raster.",
+        "Strategy-crossover evidence (planner's Method-1 gate, r4 "
+        "regime-split — plans/pipeline.py:choose_zonal_strategy): when "
+        "the raster FITS an executor the gate is points > 4*px "
+        "(broadcast measured 1.45M pts/s vs the fused gather ~2.4M "
+        "pts/s, so Method 1 only wins at extreme point density); when "
+        "it does NOT fit the gate is pixel-VISITS > 4*px, i.e. points "
+        "> px/82 for the 3-buffer set (measured: the fused op beats "
+        "the tiled cogroup 5x at points = 0.29*px). Under that gate "
+        "`q01_zonal_convolve_all_big` (19.2M points on a 201M-px "
+        "out-of-core raster, eff 0.807) IS a planner-reachable "
+        "operating point and is THE convolve_all scaling evidence row; "
+        "`q33_convolve_stage_big` isolates its fixed convolution stage "
+        "(3072 tiles, eff 0.822). The fits-regime at-gate point "
+        "(76.8M points on the 16.7M-px raster) was measured r4 and is "
+        "NOISE-LIMITED on this box: single-run walls of 82s/36s/46s at "
+        "local[8]/[16]/[32] (non-monotonic — shared-host steal at full "
+        "saturation), so no efficiency number is reported for it; its "
+        "local[32] throughput (~2.4M pts/s) still beats broadcast's "
+        "1.45M pts/s, which is what the gate encodes. r3 kernel notes "
+        "retained: chord gather is chunked (row-sorted 2048-point "
+        "slices, cache-resident temporaries) and superblock size is "
+        "DATA-adaptive (identical plan at every cluster size).",
         "",
     ]
     z = merged.get("q01_zonal_600k")
@@ -184,6 +193,14 @@ def main():
         "  (JIT + Python-worker imports are cluster startup, not workload);",
         "  shuffle dirs are tmpfs to approximate a cluster's distributed",
         "  shuffle fabric rather than one overlay disk.",
+        "- HOST NOISE (r4): this guest shares a host; with identical code",
+        "  and an idle guest, back-to-back full-suite walls measured 29.8s",
+        "  and 20.5s, and per-query floors only emerge at >=6 reps. The",
+        "  r3 bench's '+8.6% vs r2' on shared queries sits entirely inside",
+        "  that band — per-query floors at reps=6 match r2/r3 (zonal 1.58",
+        "  vs r2 1.62, minhash 3.07 vs 3.08, hex 1.01 vs r3 0.99). bench.py",
+        "  defaults to min-of-3 reps since r4 for this reason; treat any",
+        "  single-run BENCH_r{N} delta under ~30% as measurement noise.",
     ]
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:

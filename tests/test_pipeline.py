@@ -66,6 +66,13 @@ def test_zonal_strategy_planner():
     assert choose_zonal_strategy(10**6, 10**7, 3).strategy == "convolve_all"
     assert choose_zonal_strategy(16 * 10**6, 10**5, 3).strategy == "broadcast"
     assert choose_zonal_strategy(10**11, 10**6, 3).strategy == "tiled"
+    # out-of-core regime (r4 split gate): pixel-VISITS, not points, cross
+    # the Method-1 bar — 19.2M points on a 201M-px raster is reachable
+    assert choose_zonal_strategy(201 * 10**6, 192 * 10**5, 3
+                                 ).strategy == "convolve_all"
+    # but sparse points on the same out-of-core raster stay tiled
+    assert choose_zonal_strategy(201 * 10**6, 10**6, 3
+                                 ).strategy == "tiled"
 
 
 def test_pipeline_executes_every_planner_strategy(spark):
