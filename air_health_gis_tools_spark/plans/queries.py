@@ -2368,6 +2368,127 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# q75 range (interval) join: bucket decomposition vs DuckDB's native IEJoin
+# --------------------------------------------------------------------------
+
+N_INTERVALS_Q75 = 64
+
+
+def q75_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/rangejoin.py — interval buckets
+    exploded, hash equi-join on the bucket id, exact BETWEEN re-check; no
+    nested-loop, no cross product). Intervals are deterministic integer-
+    valued bands over the events value domain; bounds are exact doubles
+    so both engines compare identically (comparison only — no float
+    arithmetic crosses the result surface). Oracle: DuckDB's native
+    inequality join (IEJoin), an independent physical algorithm."""
+    from ..operators.rangejoin import range_join
+    intervals = spark.range(N_INTERVALS_Q75).select(
+        F.col("id").alias("int_id"),
+        ((F.col("id") * 37) % 450).cast("double").alias("lo"),
+        ((F.col("id") * 37) % 450 + 5 + F.col("id") % 20)
+        .cast("double").alias("hi"))
+    probes = _events(spark, sf_dir).select("event_id", "value")
+    out = range_join(probes, intervals, v_col="value", bucket_w=10.0)
+    return (out.groupBy("int_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+def q75_sql() -> str:
+    return f"""
+WITH intervals AS (
+  SELECT i AS int_id,
+         CAST((i * 37) % 450 AS DOUBLE) AS lo,
+         CAST((i * 37) % 450 + 5 + i % 20 AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(0, {N_INTERVALS_Q75})) AS i)),
+pairs AS (
+  SELECT e.event_id, i.int_id
+  FROM events e JOIN intervals i
+    ON e.value >= i.lo AND e.value <= i.hi)
+SELECT int_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM pairs GROUP BY int_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q76 winnowing fingerprints (Schleimer et al., SIGMOD'03): the local
+# document-fingerprinting algorithm behind MOSS — guaranteed to select at
+# least one shared fingerprint for any match of length >= w + k - 1
+# --------------------------------------------------------------------------
+
+Q76_K = 5       # k-gram length (same shingle machinery as MinHash q16)
+Q76_W = 4       # winnow window: one fingerprint per w consecutive k-grams
+
+
+def q76_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing: hash every k-gram (the bit-exact conv(md5) int hash the
+    MinHash surface uses), slide a w-window over positions, keep the MIN
+    hash of each full window, dedupe — the selected set is the document's
+    fingerprint. Pure Catalyst: explode → window min ordered by position
+    (ONE shuffle on doc_id) → distinct → per-doc aggregate, all exact
+    int64. Unlike MinHash (global random sample), winnowing is POSITION-
+    LOCAL: any shared substring of length w+k-1 guarantees a shared
+    fingerprint, which is why plagiarism/contamination detectors use it."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(f"""
+        WITH {winnow_fps_cte_spark()}
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fp,
+               min(fp) AS min_fp, max(fp) AS max_fp,
+               CAST(sum(fp) AS BIGINT) AS sum_fp
+        FROM fps GROUP BY doc_id""")
+
+
+def winnow_fps_cte_spark(view: str = "documents") -> str:
+    """CTE chain ``sh → wins → fps`` selecting the winnowed fingerprint
+    set (doc_id, fp) of ``view`` — shared by q76 and the guarantee test."""
+    return f"""sh AS (
+          SELECT doc_id, p,
+                 CAST(conv(substring(md5(substring(text, p, {Q76_K})),
+                                     1, 15), 16, 10) AS BIGINT)
+                   % {DD.MINHASH_P} AS h,
+                 greatest(length(text) - {Q76_K - 1}, 1) AS npos
+          FROM {view}
+          LATERAL VIEW explode(sequence(1,
+                 greatest(length(text) - {Q76_K - 1}, 1))) t AS p),
+        wins AS (
+          SELECT doc_id, p,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW
+                              AND {Q76_W - 1} FOLLOWING) AS fp
+          FROM sh WHERE p <= npos - {Q76_W - 1}),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wins)"""
+
+
+def q76_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         {DD.minhash_base_hash_sql_duckdb().replace('shingle',
+             f'substr(text, CAST(p AS INTEGER), {Q76_K})')} AS h,
+         greatest(length(text) - {Q76_K - 1}, 1) AS npos
+  FROM documents,
+       LATERAL (SELECT unnest(range(1,
+                greatest(length(text) - {Q76_K - 1}, 1) + 1)) AS p) t),
+wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW
+                      AND {Q76_W - 1} FOLLOWING) AS fp
+  FROM sh WHERE p <= npos - {Q76_W - 1}),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       min(fp) AS min_fp, max(fp) AS max_fp,
+       CAST(sum(fp) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q73 scaled dedup groups: exact-dup collapse → LSH on representatives →
 # connected components (the VERDICT-r3 hot-bucket composition, end to end)
 # --------------------------------------------------------------------------
@@ -2625,6 +2746,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_editdist_verify": q72_editdist_verify,
     "q73_dedup_groups_scaled": q73_dedup_groups_scaled,
     "q74_approx_percentile_check": q74_approx_percentile_check,
+    "q75_range_join": q75_range_join,
+    "q76_winnow_fingerprints": q76_winnow_fingerprints,
 }
 
 # --------------------------------------------------------------------------
@@ -2722,4 +2845,6 @@ ORACLES: dict[str, str] = {
     "q72_editdist_verify": q72_sql(),
     "q73_dedup_groups_scaled": q73_sql(),
     "q74_approx_percentile_check": q74_sql(),
+    "q75_range_join": q75_sql(),
+    "q76_winnow_fingerprints": q76_sql(),
 }

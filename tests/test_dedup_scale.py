@@ -60,6 +60,32 @@ def test_collapsed_edges_linear_on_degenerate_corpus(spark):
     assert edges.filter(F.col("id1") == 0).count() == n - 1
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. §3): two documents
+    sharing any substring of length >= w + k - 1 share at least one
+    fingerprint, regardless of where the substring sits."""
+    from air_health_gis_tools_spark.plans.queries import (
+        Q76_K, Q76_W, winnow_fps_cte_spark)
+    shared = "zqxjvkwpfyhgbdmn_shared_run_of_text"   # >= w + k - 1 = 8
+    assert len(shared) >= Q76_W + Q76_K - 1
+    texts = ["AAAA" + shared + "BBBBBBBBBB",
+             "cccccccccccccc" + shared,
+             shared + "ddddddddddddddddddddddd",
+             "totally unrelated content with no common run at all x"]
+    _docs_df(spark, texts).createOrReplaceTempView("w_docs")
+    rows = spark.sql(
+        f"WITH {winnow_fps_cte_spark('w_docs')} "
+        "SELECT doc_id, fp FROM fps").collect()
+    fps: dict[int, set] = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            if a < b:
+                assert fps[a] & fps[b], (a, b)
+    assert not (fps[0] & fps[3])
+
+
 def test_collapsed_components_match_uncollapsed(spark):
     """Exact-dup collapse preserves the dedup GROUPS: components from the
     collapsed edge list equal components from the raw LSH pair list."""

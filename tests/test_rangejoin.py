@@ -1,0 +1,73 @@
+"""Range join (operators/rangejoin.py): bucket decomposition must equal
+the brute-force BETWEEN join exactly, refuse degenerate spans, and keep a
+hash-join plan."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from air_health_gis_tools_spark.operators.rangejoin import range_join
+
+
+def _intervals(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("int_id"),
+        ((F.col("id") * 13) % 300).cast("double").alias("lo"),
+        ((F.col("id") * 13) % 300 + 3 + F.col("id") % 25)
+        .cast("double").alias("hi"))
+
+
+def _probes(spark, n=5000):
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919) % 3200 / 10.0).alias("v"))
+
+
+def test_matches_bruteforce(spark):
+    iv, pr = _intervals(spark), _probes(spark)
+    got = {(r["pid"], r["int_id"]) for r in
+           range_join(pr, iv, "v", bucket_w=8.0).collect()}
+    naive = {(r["pid"], r["int_id"]) for r in
+             pr.crossJoin(iv)
+             .filter((F.col("v") >= F.col("lo"))
+                     & (F.col("v") <= F.col("hi"))).collect()}
+    assert got == naive and len(got) > 1000
+    # bucket width must not change results (pure performance knob)
+    got2 = {(r["pid"], r["int_id"]) for r in
+            range_join(pr, iv, "v", bucket_w=50.0).collect()}
+    assert got2 == naive
+
+
+def test_keyed_range_join(spark):
+    iv = _intervals(spark).withColumn("k", F.col("int_id") % 3)
+    pr = _probes(spark).withColumn("k", F.col("pid") % 3)
+    got = {(r["pid"], r["int_id"]) for r in
+           range_join(pr, iv, "v", key="k", bucket_w=8.0).collect()}
+    naive = {(r["pid"], r["int_id"]) for r in
+             pr.alias("p").join(iv.alias("i"),
+                                F.col("p.k") == F.col("i.k"))
+             .filter((F.col("v") >= F.col("lo"))
+                     & (F.col("v") <= F.col("hi"))).collect()}
+    assert got == naive
+
+
+def test_degenerate_span_refused(spark):
+    iv = spark.createDataFrame([(0, 0.0, 1e9)], "int_id long, lo double, hi double")
+    pr = _probes(spark, 10)
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(pr, iv, "v", bucket_w=1.0,
+                   max_span_buckets=1000).collect()
+
+
+def test_plan_is_hash_join(spark):
+    df = range_join(_probes(spark), _intervals(spark), "v", bucket_w=8.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p
