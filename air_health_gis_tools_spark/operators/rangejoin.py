@@ -62,3 +62,37 @@ def range_join(probes: DataFrame, intervals: DataFrame, v_col: str,
             .filter((F.col(v_col) >= F.col(lo_col))
                     & (F.col(v_col) <= F.col(hi_col)))
             .drop("_b"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          lo_l: str = "lo", hi_l: str = "hi",
+                          lo_r: str = "lo_r", hi_r: str = "hi_r",
+                          bucket_w: float = 10.0, key: str | None = None,
+                          max_span_buckets: int = 10_000) -> DataFrame:
+    """Interval × interval OVERLAP join (``lo_l <= hi_r AND lo_r <=
+    hi_l``): both sides explode into bucket coverage, equi-join on the
+    bucket, exact overlap re-check, then dedupe — unlike the point probe,
+    two overlapping intervals can share SEVERAL buckets, so the pair
+    would otherwise repeat once per shared bucket. The dedup stays cheap
+    because it keys on the output columns the join already shuffled.
+    Same fail-fast span guard as range_join on both sides."""
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        start = F.floor(F.col(lo) / bucket_w).cast("long")
+        span = F.floor(F.col(hi) / bucket_w).cast("long") - start + 1
+        end = F.when(
+            span <= max_span_buckets,
+            F.floor(F.col(hi) / bucket_w).cast("long")
+        ).otherwise(F.raise_error(F.lit(
+            f"interval_overlap_join: interval spans more than "
+            f"{max_span_buckets} buckets at bucket_w={bucket_w}"))
+            .cast("long"))
+        return df.withColumn("_b", F.explode(F.sequence(start, end)))
+
+    a = _explode(left, lo_l, hi_l)
+    b = _explode(right, lo_r, hi_r)
+    on = ["_b"] if key is None else ["_b", key]
+    return (a.join(b, on)
+            .filter((F.col(lo_l) <= F.col(hi_r))
+                    & (F.col(lo_r) <= F.col(hi_l)))
+            .drop("_b")
+            .distinct())

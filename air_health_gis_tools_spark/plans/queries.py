@@ -2414,6 +2414,57 @@ FROM pairs GROUP BY int_id
 
 
 # --------------------------------------------------------------------------
+# q77 interval-overlap join: per-user value spans × deterministic bands
+# --------------------------------------------------------------------------
+
+N_BANDS_Q77 = 40
+
+
+def q77_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/rangejoin.py
+    interval_overlap_join — both sides bucket-exploded, hash equi-join,
+    exact overlap re-check, dedup): each user's [min(value), max(value)]
+    activity span against deterministic value bands. Span bounds are
+    min/max SELECTIONS of parquet doubles (no arithmetic), band bounds
+    exact integer doubles — every comparison is engine-identical. Oracle:
+    DuckDB's native inequality join on the same overlap predicate."""
+    from ..operators.rangejoin import interval_overlap_join
+    spans = (_events(spark, sf_dir)
+             .groupBy("user_id")
+             .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    bands = spark.range(N_BANDS_Q77).select(
+        F.col("id").alias("band_id"),
+        ((F.col("id") * 67) % 440).cast("double").alias("lo_r"),
+        ((F.col("id") * 67) % 440 + 4 + F.col("id") % 23)
+        .cast("double").alias("hi_r"))
+    out = interval_overlap_join(spans, bands, bucket_w=64.0)
+    return (out.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.min("user_id").alias("first_user"),
+                 F.max("user_id").alias("last_user")))
+
+
+def q77_sql() -> str:
+    return f"""
+WITH spans AS (
+  SELECT user_id, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY user_id),
+bands AS (
+  SELECT i AS band_id,
+         CAST((i * 67) % 440 AS DOUBLE) AS lo_r,
+         CAST((i * 67) % 440 + 4 + i % 23 AS DOUBLE) AS hi_r
+  FROM (SELECT unnest(range(0, {N_BANDS_Q77})) AS i)),
+pairs AS (
+  SELECT s.user_id, b.band_id
+  FROM spans s JOIN bands b
+    ON s.lo <= b.hi_r AND b.lo_r <= s.hi)
+SELECT band_id, CAST(count(*) AS BIGINT) AS n_users,
+       min(user_id) AS first_user, max(user_id) AS last_user
+FROM pairs GROUP BY band_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q76 winnowing fingerprints (Schleimer et al., SIGMOD'03): the local
 # document-fingerprinting algorithm behind MOSS — guaranteed to select at
 # least one shared fingerprint for any match of length >= w + k - 1
@@ -2748,6 +2799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_approx_percentile_check": q74_approx_percentile_check,
     "q75_range_join": q75_range_join,
     "q76_winnow_fingerprints": q76_winnow_fingerprints,
+    "q77_interval_overlap": q77_interval_overlap,
 }
 
 # --------------------------------------------------------------------------
@@ -2847,4 +2899,5 @@ ORACLES: dict[str, str] = {
     "q74_approx_percentile_check": q74_sql(),
     "q75_range_join": q75_sql(),
     "q76_winnow_fingerprints": q76_sql(),
+    "q77_interval_overlap": q77_sql(),
 }

@@ -63,6 +63,26 @@ def test_degenerate_span_refused(spark):
                    max_span_buckets=1000).collect()
 
 
+def test_overlap_matches_bruteforce(spark):
+    from air_health_gis_tools_spark.operators.rangejoin import \
+        interval_overlap_join
+    left = _intervals(spark, 30).withColumnRenamed("int_id", "a_id")
+    right = (_intervals(spark, 25)
+             .select(F.col("int_id").alias("b_id"),
+                     (F.col("lo") * 1.0 + 1.0).alias("lo_r"),
+                     (F.col("hi") * 1.0 + 2.0).alias("hi_r")))
+    got = {(r["a_id"], r["b_id"]) for r in
+           interval_overlap_join(left, right, bucket_w=7.0).collect()}
+    naive = {(r["a_id"], r["b_id"]) for r in
+             left.crossJoin(right)
+             .filter((F.col("lo") <= F.col("hi_r"))
+                     & (F.col("lo_r") <= F.col("hi"))).collect()}
+    assert got == naive and len(got) > 20
+    # no duplicate pairs despite multi-bucket overlap
+    rows = interval_overlap_join(left, right, bucket_w=2.0).count()
+    assert rows == len(naive)
+
+
 def test_plan_is_hash_join(spark):
     df = range_join(_probes(spark), _intervals(spark), "v", bucket_w=8.0)
     buf = io.StringIO()
