@@ -64,6 +64,20 @@ def range_join(probes: DataFrame, intervals: DataFrame, v_col: str,
             .drop("_b"))
 
 
+def suggest_bucket_w(intervals: DataFrame, lo_col: str = "lo",
+                     hi_col: str = "hi") -> float:
+    """Data-derived bucket width: the median interval length (one tiny
+    aggregate job, driver-side planning like choose_zonal_strategy).
+    With w ~ median length, a typical interval explodes into <= 2-3
+    bucket rows and a probe meets few candidate intervals per bucket —
+    the blow-up/selectivity sweet spot. Width never changes RESULTS
+    (tested), only the plan's fan-out."""
+    row = intervals.select(F.expr(
+        f"approx_percentile({hi_col} - {lo_col}, 0.5)").alias("m")).head()
+    m = float(row["m"]) if row and row["m"] is not None else 1.0
+    return max(m, 1e-9)
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           lo_l: str = "lo", hi_l: str = "hi",
                           lo_r: str = "lo_r", hi_r: str = "hi_r",

@@ -2573,7 +2573,9 @@ def q73_dedup_groups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _q73_corpus(spark, sf_dir)
     edges = DD.collapsed_neardup_edges(corpus, n=5, k=8, bands=2,
                                        max_bucket=1024)
-    comp = connected_components(edges, src="id1", dst="id2")
+    # max_iters is a hard cap, not a round count: the loop early-stops on
+    # convergence, so headroom for long near-dup chains costs nothing
+    comp = connected_components(edges, src="id1", dst="id2", max_iters=40)
     labels = (corpus.select(F.col("doc_id").alias("node"))
               .join(comp, "node", "left")
               .select("node",

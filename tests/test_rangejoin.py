@@ -83,6 +83,22 @@ def test_overlap_matches_bruteforce(spark):
     assert rows == len(naive)
 
 
+def test_suggest_bucket_w(spark):
+    from air_health_gis_tools_spark.operators.rangejoin import \
+        suggest_bucket_w
+    iv = _intervals(spark)     # lengths 3..27
+    w = suggest_bucket_w(iv)
+    assert 3.0 <= w <= 27.0
+    # the suggested width reproduces brute-force results like any other
+    got = {(r["pid"], r["int_id"]) for r in
+           range_join(_probes(spark, 800), iv, "v", bucket_w=w).collect()}
+    naive = {(r["pid"], r["int_id"]) for r in
+             _probes(spark, 800).crossJoin(iv)
+             .filter((F.col("v") >= F.col("lo"))
+                     & (F.col("v") <= F.col("hi"))).collect()}
+    assert got == naive
+
+
 def test_plan_is_hash_join(spark):
     df = range_join(_probes(spark), _intervals(spark), "v", bucket_w=8.0)
     buf = io.StringIO()
