@@ -11,7 +11,9 @@ inside a script is script content):
 
 1. ``<script>`` / ``<style>`` / ``<template>`` elements drop with their
    contents (case-insensitive; raw-text scan to the first matching end tag,
-   HTML5 CDATA-element semantics; unclosed → drop to end of input).
+   HTML5 CDATA-element semantics; unclosed → drop to end of input). A
+   SELF-CLOSING raw tag (``<script/>``) is a startend tag — it never
+   enters raw-content mode, matching the tokenizer.
 2. Comments ``<!-- … -->``, CDATA sections, ``<!…>`` declarations and
    ``<?…>`` processing instructions drop; an unterminated comment/CDATA
    recovers exactly as CPython's HTMLParser does (literal data to the
@@ -73,7 +75,9 @@ _ATTRS = r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"  # quote-aware: '>' OK in quotes
 # position: '<!-- <script> -->rest' dropped everything to EOF while the
 # stdlib-HTMLParser oracle kept 'rest' — ADVICE r3.)
 _TOKEN_RE = re.compile(
-    rf"(?is)<(?P<raw>{'|'.join(_RAW)})\b{_ATTRS}>"   # raw-element open tag
+    # raw-element open tag — but NOT a self-closing one ('<script/>' is a
+    # startend tag per the tokenizer and never enters raw-content mode)
+    rf"(?is)<(?P<raw>{'|'.join(_RAW)})\b{_ATTRS}(?<!/)>"
     r"|(?P<comment><!--)"                            # closure found in code
     r"|(?P<cdata><!\[CDATA\[)"                       # closure found in code
     rf"|<(/?)(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*){_ATTRS}/?>"
@@ -129,15 +133,18 @@ def extract_text(html: str) -> str:
             if end:
                 pos = end.end()
             else:
+                # recovered bogus data IS entity-decoded: with
+                # convert_charrefs the stdlib parser unescapes this
+                # fallback's data like any other text node (r4 review)
                 lit, pos = _bogus_markup(s, m.start())
-                parts.append(lit)             # literal, NOT unescaped
+                parts.append(unescape(lit))
         elif m.group("cdata") is not None:
             end = _CDATA_END.search(s, m.end())
             if end:
                 pos = end.end()
             else:
                 lit, pos = _bogus_markup(s, m.start())
-                parts.append(lit)
+                parts.append(unescape(lit))
         else:
             name = m.group("name")
             if name is not None and name.lower() in BLOCK_TAGS:

@@ -44,8 +44,14 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
+    if max_iters < 1:
+        raise ValueError("connected_components: max_iters must be >= 1")
+    # max_iters productive rounds are allowed, PLUS one verification round
+    # (a run whose last permitted round reaches the fixpoint still needs a
+    # no-change round to prove it — without the +1 a correct result at the
+    # boundary would be discarded, r4 review)
     changed = 0
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         neigh = (sym.join(labels, sym["b"] == labels["node"])
                  .select(F.col("a").alias("node"), F.col("label")))
         merged = (labels.unionByName(neigh)

@@ -138,15 +138,18 @@ def pip_circle_counts_np(points: DataFrame, polys: DataFrame,
     The small-dim gate is ENFORCED (VERDICT r3 #8, mirroring
     tile_table_to_array's max_px): the CSR build is a driver-side loop
     over polys × covering cells, so a large dim must take the distributed
-    cell-join path (pip_circle_counts) instead of OOMing the driver."""
-    n_polys = polys.count()
-    if n_polys > max_polys:
+    cell-join path (pip_circle_counts) instead of OOMing the driver. The
+    gate shares the collect the kernel needs anyway — limit(max+1) bounds
+    it, so an oversized dim costs one capped job, not a full count plus a
+    second scan (r4 review)."""
+    rows = (polys.select(poly_id_col, "cx", "cy", "r")
+            .limit(max_polys + 1).collect())
+    if len(rows) > max_polys:
         raise ValueError(
-            f"pip_circle_counts_np: polygon dim has {n_polys} rows > "
+            f"pip_circle_counts_np: polygon dim exceeds "
             f"max_polys={max_polys}; this kernel builds a driver-side "
             "broadcast CSR grid and is gated to small dims — use "
             "pip_circle_counts (distributed cell join) for large dims")
-    rows = polys.select(poly_id_col, "cx", "cy", "r").collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     cxs = np.array([r[1] for r in rows], dtype=np.int64)
     cys = np.array([r[2] for r in rows], dtype=np.int64)

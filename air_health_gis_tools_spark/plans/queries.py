@@ -2332,13 +2332,21 @@ def q74_approx_percentile_check(spark: SparkSession, sf_dir: str
     that cannot scale; this one is a single aggregation pass."""
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     qs = ", ".join(str(q) for q in Q74_QS)
+    # tie-robust contract (r4 review): a repeated value occupies the whole
+    # rank interval [count(<v)+1, count(<=v)]; the sketch meets its bound
+    # iff that interval INTERSECTS target_rank ± n/accuracy — comparing
+    # only count(<=v) (the max rank) flags false violations whenever ties
+    # exceed the tolerance, which they do at scale on a bounded domain
     checks = ", ".join(
-        f"CAST(abs(rank_{i} - {q} * n) <= n / {Q74_ACCURACY}.0 + 2.0 "
+        f"CAST(lt_{i} + 1 <= {q} * n + n / {Q74_ACCURACY}.0 + 2.0 "
+        f"AND le_{i} >= {q} * n - n / {Q74_ACCURACY}.0 - 2.0 "
         f"AS BIGINT) AS ok_p{int(q * 100)}"
         for i, q in enumerate(Q74_QS))
     ranks = ", ".join(
+        f"sum(CASE WHEN d.n_chars < element_at(ap.a, {i + 1}) "
+        f"THEN 1 ELSE 0 END) AS lt_{i}, "
         f"sum(CASE WHEN d.n_chars <= element_at(ap.a, {i + 1}) "
-        f"THEN 1 ELSE 0 END) AS rank_{i}"
+        f"THEN 1 ELSE 0 END) AS le_{i}"
         for i in range(len(Q74_QS)))
     # two scans total: one sketch pass, one broadcast equi-join + condi-
     # tional rank count (the tiny per-group sketch table broadcasts; no
@@ -2506,12 +2514,13 @@ def winnow_fps_cte_spark(view: str = "documents") -> str:
           LATERAL VIEW explode(sequence(1,
                  greatest(length(text) - {Q76_K - 1}, 1))) t AS p),
         wins AS (
-          SELECT doc_id, p,
+          SELECT doc_id, p, npos,
                  min(h) OVER (PARTITION BY doc_id ORDER BY p
                               ROWS BETWEEN CURRENT ROW
                               AND {Q76_W - 1} FOLLOWING) AS fp
-          FROM sh WHERE p <= npos - {Q76_W - 1}),
-        fps AS (SELECT DISTINCT doc_id, fp FROM wins)"""
+          FROM sh),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wins
+                WHERE p <= npos - {Q76_W - 1})"""
 
 
 def q76_sql() -> str:
@@ -2525,12 +2534,13 @@ WITH sh AS (
        LATERAL (SELECT unnest(range(1,
                 greatest(length(text) - {Q76_K - 1}, 1) + 1)) AS p) t),
 wins AS (
-  SELECT doc_id, p,
+  SELECT doc_id, p, npos,
          min(h) OVER (PARTITION BY doc_id ORDER BY p
                       ROWS BETWEEN CURRENT ROW
                       AND {Q76_W - 1} FOLLOWING) AS fp
-  FROM sh WHERE p <= npos - {Q76_W - 1}),
-fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+  FROM sh),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins
+        WHERE p <= npos - {Q76_W - 1})
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_fp,
        min(fp) AS min_fp, max(fp) AS max_fp,
@@ -2546,6 +2556,7 @@ FROM fps GROUP BY doc_id
 
 Q73_DUP_OFFSET = 1_000_000       # synthetic exact-duplicate ids
 Q73_DUP_MOD = 4                  # every 4th doc gets one exact duplicate
+Q73_MAX_BUCKET = 1024            # band-bucket cap — in BOTH engines' SQL
 
 
 def _q73_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,7 +2583,7 @@ def q73_dedup_groups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
     corpus = _q73_corpus(spark, sf_dir)
     edges = DD.collapsed_neardup_edges(corpus, n=5, k=8, bands=2,
-                                       max_bucket=1024)
+                                       max_bucket=Q73_MAX_BUCKET)
     # max_iters is a hard cap, not a round count: the loop early-stops on
     # convergence, so headroom for long near-dup chains costs nothing
     comp = connected_components(edges, src="id1", dst="id2", max_iters=40)
@@ -2610,9 +2621,17 @@ banded AS (
   SELECT doc_id, 0 AS band, {_band_val_sql([0, 1, 2, 3])} AS val FROM sig
   UNION ALL
   SELECT doc_id, 1, {_band_val_sql([4, 5, 6, 7])} FROM sig),
+-- the engine's hot-bucket cap, mirrored (q72-style: bounds live in BOTH
+-- engines' SQL): buckets larger than the cap are excluded from pairing
+capped AS (
+  SELECT b.doc_id, b.band, b.val FROM banded b
+  JOIN (SELECT band, val, count(*) AS bn FROM banded
+        GROUP BY band, val) s
+    ON b.band = s.band AND b.val = s.val
+  WHERE s.bn <= {Q73_MAX_BUCKET}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
 e AS (SELECT id1, id2 FROM exact_edges UNION SELECT id1, id2 FROM pairs),
 sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e),

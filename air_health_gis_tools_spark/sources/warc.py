@@ -252,17 +252,31 @@ def _iter_gzip_members_file(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
 def _iter_records_chunks(chunks: Iterator[bytes]) -> Iterator[dict]:
     """Incremental record parser over decompressed byte chunks: complete
     records are yielded as soon as their bytes arrive; only the unfinished
-    suffix is buffered across chunk boundaries."""
-    buf = b""
+    suffix is buffered across chunk boundaries.
+
+    Linear-cost buffering (r4 review): chunks accumulate in a LIST and are
+    joined only when enough bytes for the pending record have arrived
+    (``need`` tracks the incomplete record's total size once its header is
+    parsed) — a record spanning K chunks costs one join, not K re-joins of
+    a growing buffer (which made a 1 GB record O(n²) memcpy)."""
+    parts: list[bytes] = []
+    size = 0
+    need = 1               # bytes (from buffer start) before re-parsing
     for chunk in chunks:
-        buf = buf + chunk if buf else chunk
+        parts.append(chunk)
+        size += len(chunk)
+        if size < need:
+            continue
+        buf = b"".join(parts)
         pos = 0
         n = len(buf)
+        need = 1
         while True:
             while buf[pos:pos + 2] == CRLF:
                 pos += 2
             hdr_end = buf.find(CRLF + CRLF, pos)
-            if hdr_end < 0:
+            if hdr_end < 0:            # header incomplete: wait for more
+                need = (n - pos) + 1
                 break
             lines = buf[pos:hdr_end].split(CRLF)
             if not lines or not lines[0].startswith(b"WARC/"):
@@ -274,14 +288,20 @@ def _iter_records_chunks(chunks: Iterator[bytes]) -> Iterator[dict]:
                 headers[k.strip().decode().lower()] = v.strip().decode()
             block_start = hdr_end + 4
             block_end = block_start + int(headers["content-length"])
-            if block_end > n:              # record incomplete: wait
+            if block_end > n:          # record incomplete: wait for it
+                need = (block_end - pos)
                 break
             yield {"headers": headers,
                    "block": buf[block_start:block_end]}
             pos = block_end
-        buf = buf[pos:]
-    # a trailing partial record (truncated file) is dropped, matching
-    # _parse_records' find()-miss behavior on whole-buffer input
+        parts = [buf[pos:]] if pos < n else []
+        size = n - pos
+    # EOF with leftover bytes: replay the whole-buffer parser so a
+    # truncated final record behaves EXACTLY like _parse_records on the
+    # same bytes (complete header + short body → clamped block; header
+    # incomplete → dropped) — parity with the pre-streaming reader
+    if size:
+        yield from _parse_records(b"".join(parts))
 
 
 def _stream_records(path: str) -> Iterator[dict]:

@@ -15,14 +15,17 @@ Composition of three existing pieces:
   time-travel to any ingest point; a crashed batch re-runs from the
   stream checkpoint without double-committing completed batch ids.
 
-Exactly-once mechanics (ADVICE r3): the batch id is recorded as a
-SNAPSHOT PROPERTY inside the manifest, so "rows visible" and "batch id
-recorded" are ONE atomic pointer swap — a crash at any point either
-committed both or neither, and the replayed micro-batch checks the
-manifest (not a separate journal, which could lag the commit) before
-appending. ``_stream_batches.json`` remains as an observability sidecar
-only. This is exactly how Iceberg's streaming sink stores
-``spark.sql.streaming.*`` batch ids in the snapshot summary.
+Exactly-once mechanics (ADVICE r3, refined r4): the LATEST committed
+batch id is recorded as a SNAPSHOT PROPERTY inside the manifest, so
+"rows visible" and "batch id covered" are ONE atomic pointer swap — a
+crash at any point either committed both or neither, and the replayed
+micro-batch checks the manifest (not a separate journal, which could lag
+the commit) before appending. Batch ids are strictly increasing per
+stream checkpoint and a replay is always the most recent batch, so one
+watermark key is sufficient AND keeps manifests O(1) (a key per batch
+would grow them quadratically in total). ``_stream_batches.json``
+remains as an observability sidecar only. This mirrors how Iceberg's
+streaming sink stores the batch id in the snapshot summary.
 """
 
 from __future__ import annotations
@@ -49,22 +52,31 @@ def read_warc_file_stream(spark: SparkSession, src_dir: str,
             .select("path", "length"))
 
 
-def _batch_key(batch_id: int) -> str:
-    return f"stream-batch-{batch_id}"
+LAST_BATCH_KEY = "stream-last-batch-id"
 
 
 def commit_warc_batch(spark: SparkSession, table: SnapshotTable,
                       paths: list[str], batch_id: int,
                       min_tokens: int = 0) -> int | None:
     """Idempotently commit one micro-batch of WARC files. Returns the new
-    snapshot version, or None if ``batch_id`` is already recorded in the
-    current manifest's properties (crash-replay: rows and batch id were
-    swapped in atomically together, so 'id present' ⇔ 'rows visible')."""
+    snapshot version, or None if the current manifest already covers
+    ``batch_id`` (crash-replay: rows and the batch id swapped in
+    atomically together, so 'id covered' ⇔ 'rows visible').
+
+    The manifest stores only the LATEST committed batch id — Structured
+    Streaming batch ids are strictly increasing per checkpoint and a
+    replay is always the most recent uncommitted batch, so one watermark
+    gives exactly-once in O(1) manifest bytes (a key per batch would grow
+    every manifest linearly and total bytes quadratically — r4 review;
+    this mirrors Iceberg's snapshot-summary batch-id check). A FRESH
+    checkpoint restarts ids at 0 against a non-empty table and must pair
+    with a fresh table root, as with any Iceberg streaming sink."""
     from ..functions.html_text import html_to_text_udf
     from ..functions.url import canonicalize_url_udf
     from ..sources.warc import read_warc
 
-    if _batch_key(batch_id) in table.properties():
+    last = table.properties().get(LAST_BATCH_KEY)
+    if last is not None and batch_id <= int(last):
         return None                  # replayed batch after crash: skip
     if not paths:
         return None                  # empty batch: replay is a no-op
@@ -78,8 +90,7 @@ def commit_warc_batch(spark: SparkSession, table: SnapshotTable,
     if min_tokens:
         pages = pages.filter(F.size(F.split("text", " ")) >= min_tokens)
     return table.commit(pages, "host", op="append",
-                        properties={_batch_key(batch_id):
-                                    {"n_files": len(paths)}})
+                        properties={LAST_BATCH_KEY: int(batch_id)})
 
 
 def ingest_warc_stream_once(spark: SparkSession, src_dir: str,

@@ -34,6 +34,13 @@ def test_non_convergence_raises(spark):
     got = {r["node"]: r["component"] for r in
            connected_components(chain, max_iters=10).collect()}
     assert all(got[i] == 0 for i in range(9))
+    # boundary: EXACTLY max_iters productive rounds must still return
+    # (the +1 verification round proves the fixpoint, r4 review)
+    got = {r["node"]: r["component"] for r in
+           connected_components(chain, max_iters=8).collect()}
+    assert all(got[i] == 0 for i in range(9))
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(chain, max_iters=0)
 
 
 def test_partition_invariance(spark):

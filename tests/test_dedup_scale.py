@@ -66,11 +66,14 @@ def test_winnowing_guarantee(spark):
     fingerprint, regardless of where the substring sits."""
     from air_health_gis_tools_spark.plans.queries import (
         Q76_K, Q76_W, winnow_fps_cte_spark)
-    shared = "zqxjvkwpfyhgbdmn_shared_run_of_text"   # >= w + k - 1 = 8
-    assert len(shared) >= Q76_W + Q76_K - 1
+    # MINIMAL length run (exactly w + k - 1) — including at a document's
+    # very tail, the case a filter-before-window implementation drops
+    # (caught in r4 review: the last w-1 k-grams never entered a window)
+    shared = "zqxjvkwp"
+    assert len(shared) == Q76_W + Q76_K - 1
     texts = ["AAAA" + shared + "BBBBBBBBBB",
-             "cccccccccccccc" + shared,
-             shared + "ddddddddddddddddddddddd",
+             "cccccccccccccc" + shared,          # run at the TAIL
+             shared + "ddddddddddddddddddddddd",  # run at the head
              "totally unrelated content with no common run at all x"]
     _docs_df(spark, texts).createOrReplaceTempView("w_docs")
     rows = spark.sql(

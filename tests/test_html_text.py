@@ -50,6 +50,14 @@ CASES = [
     "a &am<!--x-->p; entity split by comment",
     "<!-- unterminated comment > recovers like HTMLParser",
     "<div>before<![CDATA[ <p>inside</p> ]]>after</div>",
+    # r4 review: recovered bogus data is entity-decoded; self-closing raw
+    # tags are startend tags, not raw-content openers
+    "before <!--&amp; unterminated> after",
+    "<![CDATA[&amp; open> rest",
+    "a<script/>b</script>c",
+    "x<style/>kept</style>y",
+    "<script src='a'/>tail",
+    "no gt <!--&amp; unterminated to eof",
 ]
 
 

@@ -103,11 +103,14 @@ def test_q74_approx_within_bound_of_exact(spark):
         n = row["n"]
         for i, q in enumerate(Q.Q74_QS):
             approx = row["a"][i]
-            # rank-error contract: the returned element's rank is within
-            # n/accuracy (+small slack) of the target rank
-            rank = sum(1 for v in vals if v <= approx)
-            assert abs(rank - q * n) <= n / Q.Q74_ACCURACY + 2.0, (
-                lang, q, rank, n)
+            # rank-error contract, tie-robust: the returned element's
+            # RANK INTERVAL [count(<v)+1, count(<=v)] intersects
+            # target ± n/accuracy (+small slack)
+            lt = sum(1 for v in vals if v < approx)
+            le = sum(1 for v in vals if v <= approx)
+            tol = n / Q.Q74_ACCURACY + 2.0
+            assert lt + 1 <= q * n + tol and le >= q * n - tol, (
+                lang, q, lt, le, n)
             # and therefore the VALUE lies between the order statistics
             # bracketing that rank window
             lo = vals[max(0, math.floor(q * n - n / Q.Q74_ACCURACY) - 2)]

@@ -84,6 +84,26 @@ def test_streaming_reader_bounded_batches(tmp_path):
         assert [len(c) for c in chunks] == [32, 32, 32, 24]
 
 
+def test_streaming_reader_truncated_tail_parity(tmp_path):
+    """A truncated final record must behave EXACTLY like the whole-buffer
+    parser: complete header + short body → clamped block; mid-header
+    truncation → dropped (r4 review — the first streaming version
+    silently dropped the clamped-block case)."""
+    from air_health_gis_tools_spark.sources.warc import _stream_records
+    recs = _sample_records()
+    whole = b"".join(recs)
+    for cut in (len(whole) - 7,                  # short body
+                len(whole) - len(recs[2]) + 10):  # mid-header
+        path = str(tmp_path / f"t{cut}.warc")
+        with open(path, "wb") as f:
+            f.write(whole[:cut])
+        exp = list(parse_warc_bytes(whole[:cut]))
+        got = list(_stream_records(path))
+        assert len(got) == len(exp)
+        assert all(g["headers"] == e["headers"] and g["block"] == e["block"]
+                   for g, e in zip(got, exp))
+
+
 def test_streaming_reader_chunk_boundary_records(tmp_path):
     """Records spanning decompress-chunk boundaries parse intact: a large
     body forces the incremental parser to buffer across chunks."""

@@ -80,7 +80,13 @@ def test_crash_replay_is_exactly_once(spark, tmp_path):
     # a genuinely NEW batch still appends
     v2 = commit_warc_batch(spark, table, fx[:1], batch_id=1)
     assert v2 == 2 and table.read(spark).count() == n + 128
-    # properties survive compaction (carried forward, not dropped)
+    # replays of ANY already-covered batch id skip (monotonic watermark)
+    assert commit_warc_batch(spark, table, fx, batch_id=0) is None
+    assert commit_warc_batch(spark, table, fx, batch_id=1) is None
+    # the watermark survives compaction (carried forward, not dropped),
+    # and stays O(1): one key regardless of batch count
     table.compact(spark)
-    assert "stream-batch-0" in table.properties()
-    assert "stream-batch-1" in table.properties()
+    from air_health_gis_tools_spark.streaming.warc_ingest import \
+        LAST_BATCH_KEY
+    assert int(table.properties()[LAST_BATCH_KEY]) == 1
+    assert len(table.properties()) == 1
