@@ -75,7 +75,11 @@ def test_fuzz_fragments_agree():
     """Deterministic fuzz: documents assembled from fragment products keep
     the two tokenizers byte-identical."""
     frags = ["<p>", "</p>", "x &amp; y", "<b>z</b>", " <div>", "</div> ",
-             "tail&#33;", "<br>", "a<b", "&quot;q&quot;", "\n", "<i>t"]
+             "tail&#33;", "<br>", "a<b", "&quot;q&quot;", "\n", "<i>t",
+             # r4 construct classes: comment openers/closers, self-closing
+             # raw tags, CDATA, entities adjacent to bogus markup
+             "<!--", "-->", "<script/>", "</script>",
+             "<![CDATA[", "]]>", "&amp;"]
     ex = _stdlib()
     n = 0
     for i in range(len(frags)):

@@ -31,6 +31,38 @@ def _expected_curated(n):
     return len(rows), set(best.values())
 
 
+def test_dedup_job(spark, tmp_path):
+    """Corpus with planted exact-dup groups: the job keeps min-id per
+    group, reports the histogram, and stays linear on the flood."""
+    import pandas as pd
+    from jobs.dedup_job import main
+    texts = []
+    for i in range(300):
+        if i < 60:                       # flood: 60 identical docs
+            texts.append("identical boilerplate page body")
+        elif i < 70:                     # 5 pairs of exact dups
+            texts.append(f"pair text number {i // 2}")
+        else:
+            texts.append(f"unique document {i} with its own words {i*7}")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300), "text": texts}),
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "dd")
+    main(["--input", src, "--output", out])
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_docs"] == 300
+    # flood contributes 59 exact edges; pairs 5 more — edges stay linear
+    assert m["n_edges"] >= 64
+    assert m["group_size_hist"]["60"] == 1
+    assert m["group_size_hist"]["2"] >= 5
+    got = spark.read.parquet(os.path.join(out, "deduped")).toPandas()
+    assert m["n_deduped"] == len(got) == m["n_groups"]
+    flood = got[got["text"] == "identical boilerplate page body"]
+    assert len(flood) == 1 and flood.iloc[0]["doc_id"] == 0
+
+
 def test_warc_curation_job(spark, tmp_path):
     from jobs.warc_curation_job import main
     out = str(tmp_path / "cur")
