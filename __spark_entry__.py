@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (72
-queries in r3, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
+``queries()`` exposes every implemented operator from SURVEY.md §2 (77
+queries in r4, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
 q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, the
 webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
 canonicalization q56, as-of join q57, repetition signals q58 — plus
