@@ -208,6 +208,24 @@ def main():
         .agg(F.sum(F.length("t"))).collect())
     run("q16_minhash_docs", lambda: Q.q16_minhash(spark, SF_DIR)
         .select(F.count("mh_0")).collect())
+    if only is not None and "q16_minhash_big" in only:
+        # dedup-throughput scaling row (webtext axis): 64x the corpus with
+        # per-copy text variation — hashing work is per shingle ROW, so
+        # this measures the real md5+min pipeline, not caching artifacts
+        from air_health_gis_tools_spark.operators.dedup import \
+            minhash_signature
+        M = 64
+        big_docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                    .select("doc_id", "text")
+                    .crossJoin(spark.range(M).select(
+                        F.col("id").alias("rep")))
+                    .select((F.col("doc_id") * M + F.col("rep"))
+                            .alias("doc_id"),
+                            F.concat_ws(" ", "text",
+                                        F.col("rep").cast("string"))
+                            .alias("text")))
+        run("q16_minhash_big", lambda: minhash_signature(big_docs, 5, 4)
+            .select(F.count("mh_0")).collect())
     run("q18_cosine_topk", lambda: Q.q18_cosine_topk(spark, SF_DIR).collect())
     run("q01_docs_table", lambda: Q.q01_buffered_stats(spark, SF_DIR)
         .select(F.sum("n_valid_10000")).collect())
