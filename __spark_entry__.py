@@ -1,14 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (77
+``queries()`` exposes every implemented operator from SURVEY.md §2 (83
 queries in r4, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
 q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, the
 webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
 canonicalization q56, as-of join q57, repetition signals q58 — plus
 IVF-PQ ANN q59, spec-pinned web tile indexes q60/q61 (slippy+quadkey,
 geohash with published vectors), BM25 scoring q62 and event
-sessionization q63, salted skew-defense rollup q64, Z-order layout keys q65, overview-pyramid stats on the real raster q66, exact fixed-point PageRank q67, dedup connected components q68, ROLLUP grouping sets q69, decontamination anti-join q70, exact percentiles q71, edit-distance pair verify q72, the collapsed-dedup-groups composition q73);
+sessionization q63, salted skew-defense rollup q64, Z-order layout keys q65, overview-pyramid stats on the real raster q66, exact fixed-point PageRank q67, dedup connected components q68, ROLLUP grouping sets q69, decontamination anti-join q70, exact percentiles q71, edit-distance pair verify q72, the collapsed-dedup-groups composition q73,
+approx-percentile contract q74, range/interval joins q75/q77, winnowing
+fingerprints q76, HLL distinct-count contract q78, time-grid gap fill q79,
+TF-IDF top-k q80, Bloom-filter decontamination q81, PII scan q82, triangle
+counts on the candidate graph q83);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only

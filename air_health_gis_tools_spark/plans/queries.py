@@ -2740,6 +2740,301 @@ def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q78 HyperLogLog distinct-count contract check (sketch family, with q74's
+# approx_percentile: the two cardinality/quantile sketches a 100 TB rollup
+# actually runs)
+# --------------------------------------------------------------------------
+
+Q78_RSD = 0.05
+
+
+def q78_hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++ — one fixed 2^p-register state
+    per group, map-side mergeable, NO distinct shuffle) with its relative-
+    error contract verified in-query against the exact distinct count. At
+    100 TB this is the cardinality plan: exact count(DISTINCT) rewrites
+    into an expand + two-phase aggregate whose first shuffle carries every
+    distinct value; the sketch shuffles kilobytes per group. The check
+    tolerates 3·rsd relative error + 3 absolute (HLL's error is
+    probabilistic but DETERMINISTIC for a fixed dataset, so the flag is
+    stable and hash-comparable)."""
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(f"""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_exact,
+               CAST(abs(approx_count_distinct(user_id, {Q78_RSD})
+                        - count(DISTINCT user_id))
+                    <= 3 * {Q78_RSD} * count(DISTINCT user_id) + 3
+                    AS BIGINT) AS ok
+        FROM events GROUP BY event_type""")
+
+
+def q78_sql() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       CAST(1 AS BIGINT) AS ok
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q79 time-series gap fill: dense hourly grid + forward fill (the
+# sensor/metrics regularization step ahead of any windowed model input)
+# --------------------------------------------------------------------------
+
+def _gap_fill_sql(dialect: str) -> str:
+    """Dense per-key hourly grid from PER-KEY bounds (sequence explode off
+    the key's own min/max hour — no cross join anywhere) LEFT-joined
+    to the observed hourly aggregate, then last-observation-carried-forward
+    via IGNORE NULLS window — one shuffle keyed (event_type), the same
+    partitioning the window reuses. Values are per-row quantized to integer
+    cents BEFORE summing (float sums are order-dependent; pitfall note in
+    q63), so both engines aggregate identical int64s."""
+    if dialect == "spark":
+        grid = ("SELECT event_type, explode(sequence(h0, h1, "
+                "interval 1 hour)) AS hour FROM bounds")
+        ff = "last_value(cents) IGNORE NULLS OVER w"
+    else:
+        grid = ("SELECT event_type, unnest(generate_series(h0, h1, "
+                "INTERVAL 1 HOUR)) AS hour FROM bounds")
+        ff = "last_value(cents IGNORE NULLS) OVER w"
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY event_type),
+grid AS ({grid}),
+j AS (SELECT g.event_type, g.hour, hr.cents,
+             CAST(hr.cents IS NULL AS BIGINT) AS filled
+      FROM grid g LEFT JOIN hourly hr
+        ON g.event_type = hr.event_type AND g.hour = hr.hour)
+SELECT event_type, hour, {ff} AS cents_ff, filled
+FROM j
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_gap_fill_sql("spark"))
+
+
+def q79_sql() -> str:
+    return _gap_fill_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q80 TF-IDF top-k terms per document — integer-exact scoring so ranking is
+# engine-identical (no log(): score = tf·10^6 div df is order-isomorphic to
+# tf·(N/df) for fixed N, and idf monotonicity is all ranking needs; the
+# corpus-size factor would only rescale every score identically)
+# --------------------------------------------------------------------------
+
+Q80_TOPK = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    if dialect == "spark":
+        terms = "SELECT doc_id, explode(split(text, ' ')) AS term " \
+                "FROM documents"
+        div = "div"
+    else:
+        terms = "SELECT doc_id, unnest(string_split(text, ' ')) AS term " \
+                "FROM documents"
+        div = "//"
+    return f"""
+WITH terms AS (SELECT doc_id, term FROM ({terms}) t WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+         CAST((t.tf * 1000000) {div} d.df AS BIGINT) AS score
+  FROM tf t JOIN docfreq d ON t.term = d.term),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {Q80_TOPK}
+"""
+
+
+def q80_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF terms. Plan: tf groupBy (map-side
+    combined), df groupBy over the tf table (already one row per
+    (doc, term)), equi-join tf×df on the term, document-partitioned
+    window top-k — the same two-level stats shape as BM25 (q62), but
+    emitting per-doc keywords instead of query scores."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_tfidf_sql("spark"))
+
+
+def q80_sql() -> str:
+    return _tfidf_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q81 Bloom-filter decontamination (operators/bloom.py): the O(1)-memory
+# probe replacing q46's verbatim probe-set broadcast at benchmark-suite
+# scale — false positives measured in-query against the exact join
+# --------------------------------------------------------------------------
+
+Q81_M = 1 << 14
+Q81_K = 3
+
+
+def q81_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle decontamination through a distributed-built
+    Bloom filter (2 KiB bitmap here; m/8 bytes at any probe-set size),
+    with the exact broadcast join computed alongside so the output
+    certifies both the no-false-negative guarantee (bloom >= exact,
+    row-wise) and the measured false-positive mass. The oracle recomputes
+    bitmap membership as k position semi-joins — set-semantics-identical
+    to the bitmap (module docstring), false positives included."""
+    from ..operators import bloom as BL
+    d = _docs(spark, sf_dir)
+    g = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {CONTAM_NGRAM - 1},"
+        f" 1)), p -> substring(text, p, {CONTAM_NGRAM}))")
+    sh = d.select("doc_id", F.explode(g).alias("shingle"))
+    probe = (sh.filter(F.col("doc_id") < CONTAM_PROBE_DOCS)
+             .select("shingle").distinct())
+    bitmap = BL.bloom_build(probe, "shingle", m=Q81_M, k=Q81_K)
+    pcols = [c.alias(f"_p{i}") for i, c in
+             enumerate(BL.position_cols("shingle", Q81_M, Q81_K))]
+    corpus = (sh.filter(F.col("doc_id") >= CONTAM_PROBE_DOCS)
+              .select("doc_id", "shingle", *pcols))
+    corpus = corpus.withColumn("bloom_hit", BL.bloom_contains(
+        corpus, [f"_p{i}" for i in range(Q81_K)], bitmap))
+    marked = probe.withColumn("_exact", F.lit(1))
+    j = corpus.join(F.broadcast(marked), "shingle", "left")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.col("bloom_hit").cast("bigint"))
+                 .alias("n_bloom_hits"),
+                 F.sum(F.coalesce(F.col("_exact"), F.lit(0)))
+                 .alias("n_exact_hits")))
+
+
+def q81_sql() -> str:
+    from ..operators import bloom as BL
+    p = [BL.position_expr("shingle", i, Q81_M, "duckdb")
+         for i in range(Q81_K)]
+    bits_union = " UNION ".join(
+        f"SELECT {e} AS pos FROM probe" for e in p)
+    conds = " AND ".join(f"{e} IN (SELECT pos FROM bits)" for e in p)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(pp AS INTEGER), {CONTAM_NGRAM}) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - {CONTAM_NGRAM - 1}, 1) + 1)) AS pp) t),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {CONTAM_PROBE_DOCS}),
+bits AS ({bits_union}),
+corpus AS (SELECT doc_id, shingle FROM sh
+           WHERE doc_id >= {CONTAM_PROBE_DOCS})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN {conds} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM probe)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+FROM corpus GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 PII pattern scan + redaction accounting — regex surface kept inside
+# both engines' common RE subset (no backslash classes: Spark string
+# literals eat backslashes that DuckDB keeps, so [.] not \\.)
+# --------------------------------------------------------------------------
+
+Q82_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+Q82_URL_RE = "https?://[^ ]+"
+
+
+def _pii_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cast_s = "STRING"
+        n_em = f"size(regexp_extract_all(aug, '{Q82_EMAIL_RE}', 0))"
+        n_url = f"size(regexp_extract_all(aug, '{Q82_URL_RE}', 0))"
+        red = (f"length(regexp_replace(regexp_replace(aug, "
+               f"'{Q82_EMAIL_RE}', '<EMAIL>'), '{Q82_URL_RE}', '<URL>'))")
+    else:
+        cast_s = "VARCHAR"
+        n_em = f"len(regexp_extract_all(aug, '{Q82_EMAIL_RE}'))"
+        n_url = f"len(regexp_extract_all(aug, '{Q82_URL_RE}'))"
+        red = (f"length(regexp_replace(regexp_replace(aug, "
+               f"'{Q82_EMAIL_RE}', '<EMAIL>', 'g'), "
+               f"'{Q82_URL_RE}', '<URL>', 'g'))")
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS {cast_s})
+           || '@mail.example.com or https://site'
+           || CAST(doc_id % 7 AS {cast_s}) || '.example.org/p/'
+           || CAST(doc_id AS {cast_s}) || ' end' AS aug
+  FROM documents)
+SELECT doc_id,
+       CAST({n_em} AS BIGINT) AS n_emails,
+       CAST({n_url} AS BIGINT) AS n_urls,
+       CAST({red} AS BIGINT) AS redacted_len
+FROM a
+"""
+
+
+def q82_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing accounting over deterministically augmented text
+    (synthetic corpus carries no organic emails/URLs, so the scan targets
+    are injected from doc_id): per-doc email/URL match counts and the
+    post-redaction length. Pure Catalyst regexp (JVM-side, codegen); the
+    oracle runs DuckDB's RE2 on the same patterns — agreement certifies
+    the patterns sit in the dialect-common subset a real pipeline should
+    stick to."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_pii_sql("spark"))
+
+
+def q82_sql() -> str:
+    return _pii_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q83 triangle counts on the near-dup candidate graph (operators/graph.py)
+# — cluster-cohesion signal distinguishing template farms from drift chains
+# --------------------------------------------------------------------------
+
+def q83_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered wedge-join triangle counting (O(m^1.5), hub-proof)
+    over q17's MinHash-LSH candidate pairs. The oracle enumerates
+    triangles with the id-ordered three-way self-join — an independent
+    formulation that must agree corner-for-corner."""
+    from ..operators.graph import triangle_counts
+    sig = DD.minhash_signature(_docs(spark, sf_dir), n=5, k=8)
+    pairs = DD.lsh_candidate_pairs(sig, bands=2)
+    return (triangle_counts(pairs)
+            .withColumnRenamed("node", "doc_id"))
+
+
+def q83_sql() -> str:
+    return f"""
+WITH e AS ({q17_sql()}),
+tris AS (
+  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM e e1 JOIN e e2 ON e2.id1 = e1.id1 AND e2.id2 > e1.id2
+  JOIN e e3 ON e3.id1 = e1.id2 AND e3.id2 = e2.id2),
+corners AS (
+  SELECT a AS doc_id FROM tris UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2821,6 +3116,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_range_join": q75_range_join,
     "q76_winnow_fingerprints": q76_winnow_fingerprints,
     "q77_interval_overlap": q77_interval_overlap,
+    "q78_hll_distinct_check": q78_hll_distinct_check,
+    "q79_gap_fill": q79_gap_fill,
+    "q80_tfidf_topk": q80_tfidf_topk,
+    "q81_bloom_contamination": q81_bloom_contamination,
+    "q82_pii_scan": q82_pii_scan,
+    "q83_triangle_counts": q83_triangle_counts,
 }
 
 # --------------------------------------------------------------------------
@@ -2921,4 +3222,10 @@ ORACLES: dict[str, str] = {
     "q75_range_join": q75_sql(),
     "q76_winnow_fingerprints": q76_sql(),
     "q77_interval_overlap": q77_sql(),
+    "q78_hll_distinct_check": q78_sql(),
+    "q79_gap_fill": q79_sql(),
+    "q80_tfidf_topk": q80_sql(),
+    "q81_bloom_contamination": q81_sql(),
+    "q82_pii_scan": q82_sql(),
+    "q83_triangle_counts": q83_sql(),
 }

@@ -1,0 +1,60 @@
+"""Triangle counting (operators/graph.py): exact counts on known graphs,
+orientation/duplicate robustness, brute-force agreement on a pseudo-random
+graph."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from air_health_gis_tools_spark.operators.graph import triangle_counts
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], ["id1", "id2"])
+
+
+def _counts(spark, pairs):
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_counts(_edges_df(spark, pairs)).collect()}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    k4 = list(combinations(range(4), 2))
+    assert _counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_free_graphs_empty(spark):
+    chain = [(i, i + 1) for i in range(6)]
+    star = [(0, i) for i in range(1, 8)]
+    assert _counts(spark, chain) == {}
+    assert _counts(spark, star) == {}
+
+
+def test_star_plus_one_triangle(spark):
+    """A hub (the case degree ordering exists for) with a single closed
+    wedge hanging off it."""
+    edges = [(0, i) for i in range(1, 9)] + [(1, 2)]
+    assert _counts(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_orientation_and_duplicate_robustness(spark):
+    tri = [(0, 1), (1, 2), (0, 2)]
+    messy = [(1, 0), (1, 2), (2, 0), (0, 1), (2, 2)]  # flips, dup, loop
+    assert _counts(spark, messy) == _counts(spark, tri) == {0: 1, 1: 1, 2: 1}
+
+
+def test_agrees_with_bruteforce(spark):
+    """Deterministic pseudo-random graph (multiplicative hash, no RNG
+    state) vs per-node brute force over all vertex triples."""
+    n = 24
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in (((i * 7919) % n, (i * 104729) % n)
+                                 for i in range(90)) if a != b})
+    es = set(pairs)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(range(n), 3):
+        if {(a, b), (a, c), (b, c)} <= es:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    assert _counts(spark, pairs) == expected
