@@ -30,6 +30,7 @@ explode corners → per-node count. Three shuffles total, all keyed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def triangle_counts(edges: DataFrame, a_col: str = "id1",
@@ -56,6 +57,15 @@ def triangle_counts(edges: DataFrame, a_col: str = "id1",
     oriented = ranked.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    # oriented feeds THREE consumers (two wedge legs + the closing-edge
+    # side). Unpersisted, Catalyst clones its whole upstream per consumer
+    # — the static plan blows up 3× (166 Exchange nodes / 7.5k plan lines
+    # observed) and only runtime exchange reuse saves the recompute.
+    # Persist once (disk-spillable, edge-table sized — LSH-capped in the
+    # dedup use) so every consumer scans InMemoryRelation and the
+    # distinct/degree subplans exist exactly once. Same pattern
+    # GraphFrames uses for its motif edge tables.
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     # wedges from the common low vertex; u < v in (deg, id) order keeps
     # each unordered wedge once
     w1 = oriented.select(F.col("lo"), F.col("hi").alias("u"))
