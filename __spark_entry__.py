@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (83
+``queries()`` exposes every implemented operator from SURVEY.md §2 (85
 queries in r4, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
 q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, the
 webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
@@ -12,12 +12,13 @@ sessionization q63, salted skew-defense rollup q64, Z-order layout keys q65, ove
 approx-percentile contract q74, range/interval joins q75/q77, winnowing
 fingerprints q76, HLL distinct-count contract q78, time-grid gap fill q79,
 TF-IDF top-k q80, Bloom-filter decontamination q81, PII scan q82, triangle
-counts on the candidate graph q83);
+counts on the candidate graph q83, SemDeDup semantic dedup q84,
+domain-mixture resampling q85);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only
 queries left: the non-SQL-expressible rows (q22-q24, q30, q31, q41,
-q44, q48-q52, q54, q55, q59, q61) are hash-verified against committed golden
+q44, q48-q52, q54, q55, q59, q61, q84) are hash-verified against committed golden
 parquet tables under ``golden/``, computed independently by
 tools/make_golden.py (brute-force all-pairs for the banded simhash join,
 numpy ANN reimplementations at the pinned operating points, source-pixel

@@ -3035,6 +3035,80 @@ FROM corners GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# q84 SemDeDup semantic dedup (operators/semdedup.py): cluster-local
+# embedding near-dup — the published web-scale answer to q37's exact
+# all-pairs join (O(n²) → O(n²/k), cross-cluster pairs traded away)
+# --------------------------------------------------------------------------
+
+def q84_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic k-means (the
+    q41/q59 trainer), broadcast-centroid assignment (map-only), ONE
+    cluster-keyed self-join for pairs, exact-integer cosine threshold
+    (dot²·den² ≥ num²·n1·n2 — no float anywhere, bit-identical across
+    engines), keep = min-id exemplar per near-dup neighborhood. Oracle:
+    committed golden parquet from an independent numpy brute-force replay
+    (tools/make_golden.py golden_q84)."""
+    from ..operators.semdedup import semantic_dedup
+    return semantic_dedup(_emb(spark, sf_dir), n_lists=8)
+
+
+# --------------------------------------------------------------------------
+# q85 domain-mixture resampling: data-derived per-group keep rates that
+# steer the corpus toward a target language mixture (the training-mix
+# rebalancing step; q47 is the fixed-rate primitive, this derives the
+# rates from the group counts themselves)
+# --------------------------------------------------------------------------
+
+MIX_TARGET_PPM = {"en": 200000, "zh": 200000, "es": 200000,
+                  "de": 200000, "fr": 200000}
+
+
+def _mixture_sql(dialect: str) -> str:
+    """keep_ppm(lang) = min(1e6, target_ppm · N_total div n_lang) — exact
+    integer arithmetic (Spark `div` == DuckDB `//`), then the engine-
+    identical md5-mod-1e6 keep hash (q47's scheme widened to ppm). The
+    group-stats side collapses to a handful of rows broadcast back onto
+    the corpus — at 100 TB the only full-data passes are the count and
+    the filtered aggregate, both map-side combined."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+             "16, 10) AS BIGINT) % 1000000")
+    else:
+        h = ("CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+             "AS BIGINT) % 1000000")
+    tgt = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in
+        sorted(MIX_TARGET_PPM.items())) + " ELSE 0 END"
+    return f"""
+WITH stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_orig,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_orig,
+         least(CAST(1000000 AS BIGINT),
+               CAST(({tgt}) * n_total {div} n_orig AS BIGINT)) AS keep_ppm
+  FROM stats),
+kept AS (
+  SELECT d.lang, r.n_orig, r.keep_ppm,
+         CASE WHEN {h} < r.keep_ppm THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON d.lang = r.lang)
+SELECT lang, n_orig, keep_ppm, CAST(sum(keep) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang, n_orig, keep_ppm
+"""
+
+
+def q85_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_mixture_sql("spark"))
+
+
+def q85_sql() -> str:
+    return _mixture_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3122,6 +3196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_bloom_contamination": q81_bloom_contamination,
     "q82_pii_scan": q82_pii_scan,
     "q83_triangle_counts": q83_triangle_counts,
+    "q84_semantic_dedup": q84_semantic_dedup,
+    "q85_domain_mixture": q85_domain_mixture,
 }
 
 # --------------------------------------------------------------------------
@@ -3228,4 +3304,6 @@ ORACLES: dict[str, str] = {
     "q81_bloom_contamination": q81_sql(),
     "q82_pii_scan": q82_sql(),
     "q83_triangle_counts": q83_sql(),
+    "q84_semantic_dedup": _golden_sql("q84_semantic_dedup"),
+    "q85_domain_mixture": q85_sql(),
 }

@@ -1,0 +1,107 @@
+"""SemDeDup operator (operators/semdedup.py): exact-integer threshold
+predicate, cluster restriction, min-id keep rule, degenerate-corpus
+behavior, and the overflow guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from air_health_gis_tools_spark.operators.semdedup import (
+    semantic_dedup, semantic_neardup_edges)
+
+DIM = 8
+SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType()))])
+
+
+def _emb_df(spark, vectors):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rng_vectors(n, dim=DIM, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(n, dim)).astype(np.float32)
+
+
+def _brute_edges(vectors, cluster, tau_num, tau_den):
+    """Independent numpy brute force of the cluster-local integer
+    predicate."""
+    q = np.floor(vectors.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+    out = set()
+    for u in range(len(vectors)):
+        for v in range(u + 1, len(vectors)):
+            if cluster[u] != cluster[v]:
+                continue
+            dot = int((q[u] * q[v]).sum())
+            if dot > 0 and (dot * dot * tau_den * tau_den
+                            >= tau_num * tau_num * int(n2[u]) * int(n2[v])):
+                out.add((u, v))
+    return out
+
+
+def test_edges_match_bruteforce_and_stay_in_cluster(spark):
+    """Plant near-dups (tiny perturbations) in a random corpus; the
+    operator's edge set must equal the numpy brute force restricted to
+    its own cluster assignment."""
+    base = _rng_vectors(40)
+    planted = base[:6] + _rng_vectors(6, seed=9) * 0.01
+    vectors = np.vstack([base, planted.astype(np.float32)])
+    df = _emb_df(spark, vectors)
+    verdict = semantic_dedup(df, n_lists=4).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    cluster = verdict["cluster"].to_numpy()
+    got = {(r["id1"], r["id2"]) for r in
+           semantic_neardup_edges(df, n_lists=4).collect()}
+    expected = _brute_edges(vectors, cluster, 9, 20)
+    assert got == expected
+    assert expected, "fixture must plant at least one near-dup pair"
+    # keep rule from the same edge set: dropped iff a lower-id neighbor
+    dropped = {v for _, v in expected}
+    for _, row in verdict.iterrows():
+        assert row["keep"] == (0 if row["vec_id"] in dropped else 1)
+        deg = sum(1 for e in expected if row["vec_id"] in e)
+        assert row["n_nbrs"] == deg
+
+
+def test_identical_flood_keeps_one_per_cluster(spark):
+    """All-identical vectors land in one cluster; exactly the min id
+    survives (the degenerate corpus degrades to q37's exact join, not to
+    a wrong answer)."""
+    vectors = np.tile(_rng_vectors(1, seed=3), (30, 1))
+    verdict = semantic_dedup(_emb_df(spark, vectors), n_lists=4).toPandas()
+    assert verdict["keep"].sum() == 1
+    assert verdict.loc[verdict["keep"] == 1, "vec_id"].item() == 0
+    assert (verdict["n_nbrs"] == 29).all()
+
+
+def test_orthogonal_corpus_all_kept(spark):
+    vectors = np.eye(DIM, dtype=np.float32)
+    verdict = semantic_dedup(_emb_df(spark, vectors), n_lists=2).toPandas()
+    assert (verdict["keep"] == 1).all()
+    assert (verdict["n_nbrs"] == 0).all()
+
+
+def test_overflow_guard():
+    with pytest.raises(ValueError, match="overflow"):
+        semantic_neardup_edges(None, tau_num=21, tau_den=40)
+
+
+def test_integer_predicate_equals_float_threshold(spark):
+    """Away from the quantization boundary the integer predicate must
+    agree with the float cosine threshold on the quantized vectors."""
+    vectors = _rng_vectors(30, seed=11)
+    df = _emb_df(spark, vectors)
+    edges = {(r["id1"], r["id2"]) for r in
+             semantic_neardup_edges(df, n_lists=1).collect()}
+    q = np.floor(vectors.astype(np.float64) * 1000 + 0.5)
+    norm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / norm[:, None] / norm[None, :]
+    for u in range(len(vectors)):
+        for v in range(u + 1, len(vectors)):
+            if abs(cos[u, v] - 0.45) > 1e-9:
+                assert ((u, v) in edges) == (cos[u, v] >= 0.45)

@@ -617,6 +617,59 @@ def golden_q67(iters: int = 10) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids, "rank_fp": rank})
 
 
+# --------------------------------------------------------------------------
+# q84 — SemDeDup semantic dedup (cluster-local exact-integer near-dup)
+# --------------------------------------------------------------------------
+
+def golden_q84(n_lists: int = 8, tau_num: int = 9, tau_den: int = 20,
+               seed: int = 42) -> pd.DataFrame:
+    """Independent replay of operators/semdedup.semantic_dedup: Lloyd's
+    k-means (same deterministic recipe golden_q41 mirrors), nearest-
+    centroid assignment, then brute-force within-cluster pairs under the
+    exact-integer predicate dot > 0 and dot²·den² ≥ num²·n1·n2 — keep = 0
+    iff a lower-id near-dup exists in the cluster."""
+    ids, m = _emb_matrix()
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    vectors = m.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(vectors), size=min(n_lists, len(vectors)),
+                     replace=False)
+    cents = vectors[idx].copy()
+    for _ in range(10):
+        d = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = vectors[mask].mean(axis=0)
+    c2 = (cents * cents).sum(axis=1)
+    cluster = np.argmin(c2[None, :] - 2.0 * (vectors @ cents.T), axis=1)
+    qm = np.floor(m.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    n2 = (qm * qm).sum(axis=1)
+    n_nbrs = {int(i): 0 for i in ids}
+    dropped = {int(i): 0 for i in ids}
+    for c in range(n_lists):
+        members = np.where(cluster == c)[0]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                u, v = members[ai], members[bi]
+                dot = int((qm[u] * qm[v]).sum())
+                if dot > 0 and (dot * dot * tau_den * tau_den
+                                >= tau_num * tau_num
+                                * int(n2[u]) * int(n2[v])):
+                    lo, hi = ((u, v) if ids[u] < ids[v] else (v, u))
+                    n_nbrs[int(ids[u])] += 1
+                    n_nbrs[int(ids[v])] += 1
+                    dropped[int(ids[hi])] = 1
+    return pd.DataFrame({
+        "vec_id": ids.astype("int64"),
+        "cluster": cluster.astype("int64"),
+        "n_nbrs": np.array([n_nbrs[int(i)] for i in ids], dtype="int64"),
+        "keep": np.array([1 - dropped[int(i)] for i in ids],
+                         dtype="int64")})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -635,6 +688,7 @@ ALL = {
     "q61_geohash_cells": golden_q61,
     "q66_overview_pyramid": golden_q66,
     "q67_pagerank": golden_q67,
+    "q84_semantic_dedup": golden_q84,
 }
 
 
