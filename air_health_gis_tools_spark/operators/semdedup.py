@@ -101,6 +101,65 @@ def semantic_neardup_edges(emb: DataFrame, n_lists: int = 8,
     return near.select("cluster", "id1", "id2")
 
 
+def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
+                              tau_num: int = TAU_NUM,
+                              tau_den: int = TAU_DEN,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              centroids: np.ndarray | None = None,
+                              seed: int = 42) -> DataFrame:
+    """The throughput twin of ``semantic_neardup_edges``: one
+    ``applyInPandas`` per cluster running the within-cluster pair search
+    as a blocked int64 matmul (2048-row dot blocks — cache-resident, the
+    zonal-gather lesson) instead of a per-pair Catalyst expression.
+    IDENTICAL result set: the same ×1000 quantization and the same exact
+    integer predicate, just evaluated c×c at a time. This is the kernel
+    the 100 TB run uses — the expression form pays per-pair higher-order-
+    function evaluation; this pays one BLAS-shaped pass per cluster.
+    Parallelism = n_lists (size your cluster count ≥ executor slots; a
+    degenerate giant cluster serializes into one task — cap upstream)."""
+    if not (0 < tau_num <= tau_den <= 20):
+        raise ValueError("tau must be in (0, 1] with den <= 20 "
+                         "(int64 overflow bound, module docstring)")
+    if centroids is None:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col, id_col).orderBy(id_col)
+             .limit(SAMPLE_N).select(vec_col).collect()])
+        centroids = ivf_train_centroids(sample, n_lists, seed=seed)
+    assigned = (ivf_assign(emb, centroids, vec_col)
+                .withColumnRenamed("ivf_list", "cluster")
+                .select("cluster", F.col(id_col), F.col(vec_col)))
+    num2, den2 = tau_num * tau_num, tau_den * tau_den
+
+    def _pairs(pdf):
+        import pandas as pd
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order])
+        q = np.floor(m.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        cl = int(pdf["cluster"].iloc[0])
+        out1, out2 = [], []
+        for s in range(0, len(q), 2048):
+            e = min(s + 2048, len(q))
+            dot = q[s:e] @ q.T                       # (block, c) int64
+            ok = ((dot > 0)
+                  & (dot * dot * den2 >= num2 * n2[s:e, None] * n2[None, :]))
+            # strict upper triangle in id order: i < j globally
+            ok &= (np.arange(s, e)[:, None] < np.arange(len(q))[None, :])
+            bi, bj = np.nonzero(ok)
+            out1.append(ids[bi + s])
+            out2.append(ids[bj])
+        id1 = np.concatenate(out1) if out1 else np.empty(0, np.int64)
+        id2 = np.concatenate(out2) if out2 else np.empty(0, np.int64)
+        return pd.DataFrame({"cluster": np.full(len(id1), cl, np.int64),
+                             "id1": id1, "id2": id2})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _pairs, schema="cluster bigint, id1 bigint, id2 bigint")
+
+
 def semantic_dedup(emb: DataFrame, n_lists: int = 8,
                    tau_num: int = TAU_NUM, tau_den: int = TAU_DEN,
                    id_col: str = "vec_id", vec_col: str = "embedding",

@@ -119,8 +119,16 @@ def ivf_train_centroids(vectors: np.ndarray, n_lists: int = 16,
                      replace=False)
     cents = vectors[idx].astype(np.float64).copy()
     for _ in range(iters):
-        d = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d, axis=1)
+        # chunked over the sample axis: the (chunk, k, dim) difference
+        # tensor stays bounded (~25 MB at dim 64) for ANY n_lists, while
+        # the per-element arithmetic — and therefore every assignment and
+        # centroid, and the committed q41/q59/q84 goldens that mirror it
+        # — is bit-identical to the whole-array form.
+        assign = np.empty(len(vectors), dtype=np.int64)
+        for s in range(0, len(vectors), 512):
+            d = ((vectors[s:s + 512, None, :] - cents[None, :, :]) ** 2
+                 ).sum(axis=2)
+            assign[s:s + 512] = np.argmin(d, axis=1)
         for c in range(len(cents)):
             m = assign == c
             if m.any():

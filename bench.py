@@ -16,6 +16,7 @@ headline workload (README.md:88-92, ~5M points/s single-node).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -226,6 +227,49 @@ def main():
                             .alias("text")))
         run("q16_minhash_big", lambda: minhash_signature(big_docs, 5, 4)
             .select(F.count("mh_0")).collect())
+    if only is not None and "q84_semdedup_big" in only:
+        # SemDeDup scaling row: an M×-the-sf-corpus embedding table of
+        # DETERMINISTIC md5-derived uniform vectors (the engine's
+        # standard engine-identical derivation; same family as the
+        # fixture's uniform embeddings). Copies must be DECORRELATED —
+        # a perturbed-duplicate fixture makes every copy a near-dup of
+        # its base, so the edge OUTPUT grows as M² and the row ends up
+        # measuring result materialization, not the pair search (observed
+        # at M=256: 160M edges, t_hi 10s → 114s). Cluster count derives
+        # from the DATA ONLY (sqrt(n) to a power of two) so both
+        # parallelism legs run the identical plan; the corpus is cached
+        # (the tile-table pattern) and the coarse quantizer trains ONCE
+        # outside the timed job (SemDeDup trains per corpus — setup, not
+        # workload). The timed job is what scales: distributed
+        # assignment + the cluster-keyed pair matmuls.
+        from air_health_gis_tools_spark.operators.semdedup import \
+            semantic_neardup_edges_np
+        from air_health_gis_tools_spark.operators.similarity import \
+            ivf_train_centroids
+        M = int(os.environ.get("SPARK_GRAFT_EMB_MULT", "256"))
+        n_base = spark.read.parquet(
+            f"{SF_DIR}/embeddings.parquet").count()
+        n_vec = n_base * M
+        n_lists = max(8, 1 << int(round(math.log2(math.sqrt(n_vec)))))
+        big_emb = (spark.range(0, n_vec, 1, CPUS * 2)
+                   .select(F.col("id").alias("vec_id"),
+                           F.expr(
+                               "transform(sequence(1, 64), i -> CAST("
+                               "(CAST(conv(substring(md5(concat("
+                               "CAST(id AS STRING), '-', "
+                               "CAST(i AS STRING))), 1, 15), 16, 10) "
+                               "AS BIGINT) % 2001 - 1000) / 1000.0D "
+                               "AS FLOAT))").alias("embedding"))
+                   ).cache()
+        big_emb.count()
+        sample = np.stack(
+            [r[0] for r in big_emb.orderBy("vec_id").limit(4096)
+             .select("embedding").collect()])
+        cents = ivf_train_centroids(sample, n_lists)
+        run("q84_semdedup_big", lambda: semantic_neardup_edges_np(
+            big_emb, n_lists=n_lists, centroids=cents)
+            .select(F.count("id1")).collect())
+        big_emb.unpersist()
     run("q18_cosine_topk", lambda: Q.q18_cosine_topk(spark, SF_DIR).collect())
     run("q01_docs_table", lambda: Q.q01_buffered_stats(spark, SF_DIR)
         .select(F.sum("n_valid_10000")).collect())

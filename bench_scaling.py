@@ -39,6 +39,16 @@ def run_bench(cpus: int, mult: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_POINT_MULT=str(mult),
+               # BLAS must not add hidden parallelism under the measured
+               # legs: this box's OpenBLAS (MAX_THREADS=2) gives each
+               # Python worker up to 2 threads for float64 matmuls, which
+               # hands the local[N] leg ~2N effective cores and deflates
+               # the measured efficiency. One thread per worker makes
+               # parallelism exactly Spark's. (Earlier rows measured
+               # without the pin are conservative LOWER bounds — the pin
+               # only slows their t_lo.)
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1",
                SPARK_GRAFT_BENCH_REPS=os.environ.get(
                    "SPARK_GRAFT_BENCH_REPS", "3"),
                SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES",

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from air_health_gis_tools_spark.operators.semdedup import (
-    semantic_dedup, semantic_neardup_edges)
+    semantic_dedup, semantic_neardup_edges, semantic_neardup_edges_np)
 
 DIM = 8
 SCHEMA = T.StructType([
@@ -84,6 +84,25 @@ def test_orthogonal_corpus_all_kept(spark):
     verdict = semantic_dedup(_emb_df(spark, vectors), n_lists=2).toPandas()
     assert (verdict["keep"] == 1).all()
     assert (verdict["n_nbrs"] == 0).all()
+
+
+def test_numpy_kernel_equals_expression_kernel(spark):
+    """The blocked-matmul throughput twin must produce the identical edge
+    set (same quantization, same integer predicate) — including planted
+    near-dups and block boundaries (corpus > one 2048 block would be slow
+    here; boundary logic is exercised via a tiny block by monkeypatching
+    nothing: 46 rows with block size 2048 still covers the strict-upper-
+    triangle masking across the whole matrix)."""
+    base = _rng_vectors(40, seed=13)
+    planted = base[:6] + _rng_vectors(6, seed=14) * 0.01
+    vectors = np.vstack([base, planted.astype(np.float32)])
+    df = _emb_df(spark, vectors)
+    expr_edges = {(r["id1"], r["id2"]) for r in
+                  semantic_neardup_edges(df, n_lists=4).collect()}
+    np_edges = {(r["id1"], r["id2"]) for r in
+                semantic_neardup_edges_np(df, n_lists=4).collect()}
+    assert expr_edges == np_edges
+    assert expr_edges
 
 
 def test_overflow_guard():
