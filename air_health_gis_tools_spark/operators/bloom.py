@@ -27,8 +27,9 @@ Spark-first construction, no driver-side hashing:
 At 1000 executors the build's bit_or shuffle is bounded by min(k·n, m/64)
 rows and the probe is embarrassingly parallel. ``max_bits`` gates the
 driver densify the same way tile_table_to_array gates ``max_px``; past it,
-keep the bitmap as the (word, bits) table and turn step 3 into an equi-join
-on the word — same semantics, documented fallback.
+``bloom_word_table`` + ``bloom_contains_join`` keep the bitmap as the
+(word, bits) table and turn step 3 into an equi-join on the word — same
+semantics bit-for-bit, never driver-resident.
 
 Semantics note for oracles: membership through the bitmap is EXACTLY
 "every position ∈ the set of probe positions" — a bit is set iff some
@@ -63,6 +64,24 @@ def position_cols(col: str, m: int = DEFAULT_M, k: int = DEFAULT_K
     return [F.expr(position_expr(col, i, m)) for i in range(k)]
 
 
+def bloom_word_table(probe: DataFrame, col: str, m: int = DEFAULT_M,
+                     k: int = DEFAULT_K) -> DataFrame:
+    """The distributed (word:int64, bits:int64) form of the m-bit filter
+    over ``probe[col]`` — bit j of word w = position 64w+j. At most m/64
+    rows, produced by one map-side-combined bit_or shuffle. This is the
+    scale-path representation: it never touches the driver, so m is
+    unbounded; ``bloom_build`` densifies it (gated) and
+    ``bloom_contains_join`` probes it without densifying."""
+    pos = probe.select(F.explode(F.array(
+        *position_cols(col, m, k))).alias("pos"))
+    return (pos
+            .select(F.shiftright("pos", 6).alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos & 63 AS INT))").alias("mask"))
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
 def bloom_build(probe: DataFrame, col: str, m: int = DEFAULT_M,
                 k: int = DEFAULT_K, max_bits: int = MAX_BITS) -> np.ndarray:
     """Build the m-bit filter over ``probe[col]`` distributed; return it as
@@ -70,17 +89,9 @@ def bloom_build(probe: DataFrame, col: str, m: int = DEFAULT_M,
     if m > max_bits:
         raise ValueError(
             f"bloom_build: m={m} exceeds max_bits={max_bits}; a bitmap "
-            "this large should stay distributed as the (word, bits) table "
-            "and probe via equi-join on the word (see module docstring)")
-    pos = probe.select(F.explode(F.array(
-        *position_cols(col, m, k))).alias("pos"))
-    words = (pos
-             .select(F.shiftright("pos", 6).alias("word"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pos & 63 AS INT))").alias("mask"))
-             .groupBy("word")
-             .agg(F.bit_or("mask").alias("bits"))
-             .collect())
+            "this large should stay distributed — use bloom_word_table + "
+            "bloom_contains_join (equi-join on the word, same semantics)")
+    words = bloom_word_table(probe, col, m, k).collect()
     bitmap = np.zeros(m >> 6, dtype=np.int64)
     for row in words:
         bitmap[row["word"]] = row["bits"]
@@ -104,3 +115,33 @@ def bloom_contains(df: DataFrame, pos_cols: list[str],
         return pd.Series(ok)
 
     return _probe(*[F.col(c) for c in pos_cols])
+
+
+def bloom_contains_join(df: DataFrame, id_col: str, pos_cols: list[str],
+                        words: DataFrame) -> DataFrame:
+    """Large-m membership probe: test the k precomputed position columns
+    of ``df`` against the distributed (word, bits) table from
+    ``bloom_word_table`` WITHOUT densifying it on the driver. Returns
+    (id_col, bloom_hit:boolean), one row per distinct ``id_col``.
+
+    Plan: explode the k positions → (id, word, bit), ONE left equi-join
+    on the word (bits absent ⇒ bit unset), bool_and by id. Two keyed
+    shuffles total regardless of k; at 1000 executors the word table is
+    m/64-row bounded and AQE picks shuffle-hash (or broadcast, if the
+    bitmap happens to be small) — this is exactly the fallback the
+    ``bloom_build`` max_bits gate points at, with bit-identical semantics
+    to the bitmap path (a bit is set iff some probe element hashed to
+    it)."""
+    probes = (df.select(id_col, F.explode(F.array(
+        *[F.col(c) for c in pos_cols])).alias("pos"))
+              .select(id_col,
+                      F.shiftright("pos", 6).alias("word"),
+                      F.expr("CAST(pos & 63 AS INT)").alias("bit")))
+    return (probes
+            .join(words, "word", "left")
+            .select(F.col(id_col),
+                    F.coalesce(
+                        F.expr("(shiftright(bits, bit) & 1) = 1"),
+                        F.lit(False)).alias("hit"))
+            .groupBy(id_col)
+            .agg(F.bool_and("hit").alias("bloom_hit")))

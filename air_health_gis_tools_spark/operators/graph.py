@@ -20,9 +20,10 @@ are identical — the DuckDB oracle uses the id-ordered plan precisely
 because it is an independent formulation.
 
 Plan shape: degrees (one map-side-combined aggregate over exploded edge
-endpoints) → broadcast-join ranks onto edges (the degree table is |V|-bounded
-and hinted broadcast here; on a web-scale graph drop the hint and let AQE
-pick shuffle-hash on the edge key) →
+endpoints) → join ranks onto edges (the |V|-row degree table is hinted
+broadcast only below a measured size gate — ``BROADCAST_DEG_MAX_NODES`` —
+else the hint is omitted and AQE picks shuffle-hash on the edge key; an
+unconditional hint would OOM the driver on a web-scale vertex set) →
 wedge self-join on the common LOW endpoint → closing-edge hash equi-join →
 explode corners → per-node count. Three shuffles total, all keyed.
 """
@@ -32,26 +33,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+# (node:int64, deg:int64) rows — 1M nodes ≈ 16 MB dense, comfortably inside
+# a 1 GiB driver / executor broadcast budget; past it the degree join falls
+# back to a distributed join (AQE picks shuffle-hash: the degree table has
+# no useful sort order). Mirrors knn.BROADCAST_KERNEL_MAX_DIM's role.
+BROADCAST_DEG_MAX_NODES = 1_000_000
+
 
 def triangle_counts(edges: DataFrame, a_col: str = "id1",
-                    b_col: str = "id2") -> DataFrame:
+                    b_col: str = "id2",
+                    n_nodes: int | None = None) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as endpoint pairs (either orientation; duplicates and
     self-loops dropped). Returns (node, n_triangles) for every node in at
-    least one triangle."""
+    least one triangle. ``n_nodes`` (|V|, counted if not supplied) gates
+    the degree-table broadcast hint."""
     e = (edges.select(F.least(a_col, b_col).alias("a"),
                       F.greatest(a_col, b_col).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
     deg = (e.select(F.col("a").alias("node"))
            .unionAll(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    if n_nodes is None:
+        n_nodes = deg.count()   # also materializes the persisted degrees
+    hint = F.broadcast if n_nodes <= BROADCAST_DEG_MAX_NODES else (
+        lambda df: df)
     # total order (deg, node): orient edges low→high so out-degree is
     # O(sqrt(m)) — the hub-proofing step
     ranked = e \
-        .join(F.broadcast(deg.withColumnRenamed("node", "a")
-                          .withColumnRenamed("deg", "da")), "a") \
-        .join(F.broadcast(deg.withColumnRenamed("node", "b")
-                          .withColumnRenamed("deg", "db")), "b")
+        .join(hint(deg.withColumnRenamed("node", "a")
+                   .withColumnRenamed("deg", "da")), "a") \
+        .join(hint(deg.withColumnRenamed("node", "b")
+                   .withColumnRenamed("deg", "db")), "b")
     lo_first = (F.col("da") < F.col("db")) | \
                ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     oriented = ranked.select(

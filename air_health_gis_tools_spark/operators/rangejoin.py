@@ -85,11 +85,15 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                           max_span_buckets: int = 10_000) -> DataFrame:
     """Interval × interval OVERLAP join (``lo_l <= hi_r AND lo_r <=
     hi_l``): both sides explode into bucket coverage, equi-join on the
-    bucket, exact overlap re-check, then dedupe — unlike the point probe,
-    two overlapping intervals can share SEVERAL buckets, so the pair
-    would otherwise repeat once per shared bucket. The dedup stays cheap
-    because it keys on the output columns the join already shuffled.
-    Same fail-fast span guard as range_join on both sides."""
+    bucket, exact overlap re-check. Two overlapping intervals can share
+    SEVERAL buckets, so each pair is emitted only at its FIRST shared
+    bucket — both coverages are contiguous ranges, so their intersection
+    starts at ``greatest(start_l, start_r)``; keeping only the join row
+    whose bucket equals that value yields each pair exactly once with a
+    cheap post-join filter, instead of a second full shuffle through
+    ``.distinct()`` (which would also collapse genuinely duplicate input
+    rows when callers lack a unique key). Same fail-fast span guard as
+    range_join on both sides."""
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
         start = F.floor(F.col(lo) / bucket_w).cast("long")
         span = F.floor(F.col(hi) / bucket_w).cast("long") - start + 1
@@ -105,8 +109,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     a = _explode(left, lo_l, hi_l)
     b = _explode(right, lo_r, hi_r)
     on = ["_b"] if key is None else ["_b", key]
+    first_shared = F.greatest(
+        F.floor(F.col(lo_l) / bucket_w).cast("long"),
+        F.floor(F.col(lo_r) / bucket_w).cast("long"))
     return (a.join(b, on)
             .filter((F.col(lo_l) <= F.col(hi_r))
-                    & (F.col(lo_r) <= F.col(hi_l)))
-            .drop("_b")
-            .distinct())
+                    & (F.col(lo_r) <= F.col(hi_l))
+                    & (F.col("_b") == first_shared))
+            .drop("_b"))

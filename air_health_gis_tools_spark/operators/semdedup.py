@@ -50,11 +50,27 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import _quant_expr, ivf_assign, ivf_train_centroids
+from .similarity import (_quant_expr, ivf_assign, ivf_assign_topp,
+                         ivf_train_centroids)
 
 TAU_NUM = 9          # τ = 9/20 = 0.45 — q37's corpus-calibrated threshold
 TAU_DEN = 20
 SAMPLE_N = 4096
+
+
+def _quant16_expr(col: str) -> str:
+    """SQL: array<float> -> array<smallint> with the engine-wide
+    floor(e·1000 + 0.5) quantization — bit-identical to ``_quant_expr``
+    but shipped at 2 bytes/component through the cluster shuffle (half
+    the Arrow volume of the raw float32 vector). A component with
+    |e| > 32 would overflow int16; it raises instead — the guard is
+    folded into the produced VALUE so Catalyst cannot prune it (the
+    rangejoin lesson)."""
+    return (f"transform({col}, e -> CASE WHEN abs(CAST(e AS DOUBLE)) <= 32.0"
+            f" THEN CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS SMALLINT)"
+            f" ELSE CAST(raise_error('semdedup: |component| > 32 overflows"
+            f" the int16 quantized shuffle — use the expression kernel')"
+            f" AS SMALLINT) END)")
 
 
 def _quant_cols(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -107,17 +123,30 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               centroids: np.ndarray | None = None,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              n_probe: int = 1) -> DataFrame:
     """The throughput twin of ``semantic_neardup_edges``: one
     ``applyInPandas`` per cluster running the within-cluster pair search
-    as a blocked int64 matmul (2048-row dot blocks — cache-resident, the
+    as a blocked matmul (2048-row dot blocks — cache-resident, the
     zonal-gather lesson) instead of a per-pair Catalyst expression.
-    IDENTICAL result set: the same ×1000 quantization and the same exact
-    integer predicate, just evaluated c×c at a time. This is the kernel
-    the 100 TB run uses — the expression form pays per-pair higher-order-
-    function evaluation; this pays one BLAS-shaped pass per cluster.
+    IDENTICAL result set at ``n_probe=1``: the same ×1000 quantization and
+    the same exact integer predicate, just evaluated c×c at a time. This
+    is the kernel the 100 TB run uses — the expression form pays per-pair
+    higher-order-function evaluation; this pays one BLAS pass per cluster.
     Parallelism = n_lists (size your cluster count ≥ executor slots; a
-    degenerate giant cluster serializes into one task — cap upstream)."""
+    degenerate giant cluster serializes into one task — cap upstream).
+
+    ``n_probe`` is the recall knob for SemDeDup's documented boundary-pair
+    approximation: each vector RESIDES in its nearest list and VISITS its
+    next ``n_probe - 1`` lists; pairs are tested resident×resident and
+    resident×visitor, so a pair straddling a centroid boundary is caught
+    whenever either side's probe set reaches the other's home list (the
+    IVF multi-probe search semantics). Every surviving edge still passes
+    the EXACT cosine predicate — extra probes add recall, never false
+    positives. A pair that could meet in both homes is emitted only in
+    the LOWER-numbered one (canonical-emission rule, checked against the
+    visitor's probe set in-kernel) — no post-hoc dedup shuffle, the
+    interval-join lesson. Shuffle volume scales ×n_probe."""
     if not (0 < tau_num <= tau_den <= 20):
         raise ValueError("tau must be in (0, 1] with den <= 20 "
                          "(int64 overflow bound, module docstring)")
@@ -126,9 +155,23 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
             [r[0] for r in emb.select(vec_col, id_col).orderBy(id_col)
              .limit(SAMPLE_N).select(vec_col).collect()])
         centroids = ivf_train_centroids(sample, n_lists, seed=seed)
-    assigned = (ivf_assign(emb, centroids, vec_col)
-                .withColumnRenamed("ivf_list", "cluster")
-                .select("cluster", F.col(id_col), F.col(vec_col)))
+    # the cluster shuffle ships the QUANTIZED int16 vector, not the raw
+    # float32: the same floor(e*1000+0.5) the kernel used to compute —
+    # moved into Catalyst so the shuffled bytes halve (2 B/component).
+    # The q84_semdedup_big scaling row is Arrow/shuffle-bound once the
+    # matmul runs in dgemm, so shuffle bytes are the scaling lever here.
+    if n_probe <= 1:
+        assigned = (ivf_assign(emb, centroids, vec_col)
+                    .withColumnRenamed("ivf_list", "cluster")
+                    .select("cluster", F.col(id_col),
+                            F.expr(_quant16_expr(vec_col)).alias("qv")))
+    else:
+        assigned = (ivf_assign_topp(emb, centroids, vec_col, n_probe)
+                    .select(F.col(id_col),
+                            F.expr(_quant16_expr(vec_col)).alias("qv"),
+                            F.col("ivf_probes"),
+                            F.col("ivf_probes")[0].alias("primary"),
+                            F.explode("ivf_probes").alias("cluster")))
     num2, den2 = tau_num * tau_num, tau_den * tau_den
 
     def _pairs(pdf):
@@ -136,21 +179,53 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
         ids = pdf[id_col].to_numpy(np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(pdf[vec_col].to_numpy()[order])
-        q = np.floor(m.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        multi = "ivf_probes" in pdf.columns
+        if multi:
+            prim = pdf["primary"].to_numpy(np.int64)[order]
+            probes = np.stack(pdf["ivf_probes"].to_numpy()[order]) \
+                .astype(np.int64)                  # (n, n_probe)
+        q = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
         n2 = (q * q).sum(axis=1)
+        # The dot runs in float64 dgemm, NOT int64: NumPy integer matmul
+        # never reaches BLAS (generic memory-bound loop — measured 0.517
+        # thread-scaling efficiency at the 4N leg). Every elementwise
+        # product ≤ 1e6 and every 64-term partial sum ≤ 6.4e7 — exactly
+        # representable in float64 (< 2^53) — so casting the dgemm result
+        # back to int64 is bit-identical to the integer matmul. The bound
+        # below guarantees exactness for any input that reaches here.
+        qf = q.astype(np.float64)
+        dim = q.shape[1] if q.ndim == 2 else 0
+        assert dim * int(np.abs(q).max(initial=0)) ** 2 < 2 ** 53, \
+            "quantized magnitudes too large for exact float64 dgemm"
         cl = int(pdf["cluster"].iloc[0])
+        gj = np.arange(len(q))[None, :]
+        if multi:
+            res = prim == cl                       # resident vs visitor
         out1, out2 = [], []
         for s in range(0, len(q), 2048):
             e = min(s + 2048, len(q))
-            dot = q[s:e] @ q.T                       # (block, c) int64
+            dot = (qf[s:e] @ qf.T).astype(np.int64)  # exact — see above
             ok = ((dot > 0)
                   & (dot * dot * den2 >= num2 * n2[s:e, None] * n2[None, :]))
-            # strict upper triangle in id order: i < j globally
-            ok &= (np.arange(s, e)[:, None] < np.arange(len(q))[None, :])
+            tri = np.arange(s, e)[:, None] < gj
+            if multi:
+                # resident×resident once (strict upper triangle in id
+                # order); resident row × visitor col: the mirror meeting
+                # exists in the visitor's HOME list iff this resident
+                # also probes it — emit only in the lower-numbered list
+                rr = res[s:e, None] & res[None, :] & tri
+                rv = res[s:e, None] & ~res[None, :]
+                mem = np.zeros_like(rv)
+                for t in range(probes.shape[1]):
+                    mem |= probes[s:e, t][:, None] == prim[None, :]
+                rv &= ~((prim[None, :] < cl) & mem)
+                ok &= rr | rv
+            else:
+                ok &= tri
             bi, bj = np.nonzero(ok)
-            out1.append(ids[bi + s])
-            out2.append(ids[bj])
+            i1, i2 = ids[bi + s], ids[bj]
+            out1.append(np.minimum(i1, i2))
+            out2.append(np.maximum(i1, i2))
         id1 = np.concatenate(out1) if out1 else np.empty(0, np.int64)
         id2 = np.concatenate(out2) if out2 else np.empty(0, np.int64)
         return pd.DataFrame({"cluster": np.full(len(id1), cl, np.int64),

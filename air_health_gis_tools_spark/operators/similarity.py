@@ -153,6 +153,28 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     return df.withColumn("ivf_list", _assign(F.col(vec_col)))
 
 
+def ivf_assign_topp(df: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    n_probe: int = 1) -> DataFrame:
+    """Multi-probe IVF assignment: the ``n_probe`` nearest centroids per
+    vector as an int array, nearest first. A STABLE argsort breaks
+    distance ties by centroid index, so element 0 always equals
+    ``ivf_assign``'s single list (np.argmin also takes the first
+    minimum) and the whole array is deterministic."""
+    cents = centroids.astype(np.float64)
+    c2 = (cents * cents).sum(axis=1)
+    p = min(int(n_probe), len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        d = c2[None, :] - 2.0 * (m @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return df.withColumn("ivf_probes", _assign(F.col(vec_col)))
+
+
 def ann_topk_ivf(df: DataFrame, qvec: list[float], k: int = 5,
                  n_lists: int = 16, n_probe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2431,7 +2431,8 @@ N_BANDS_Q77 = 40
 def q77_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join (operators/rangejoin.py
     interval_overlap_join — both sides bucket-exploded, hash equi-join,
-    exact overlap re-check, dedup): each user's [min(value), max(value)]
+    exact overlap re-check, first-shared-bucket single emission — no
+    dedup shuffle): each user's [min(value), max(value)]
     activity span against deterministic value bands. Span bounds are
     min/max SELECTIONS of parquet doubles (no arithmetic), band bounds
     exact integer doubles — every comparison is engine-identical. Oracle:
@@ -3109,6 +3110,274 @@ def q85_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q86 Count-Min-sketch heavy hitters — the frequency sketch completing the
+# mergeable-sketch family (q74 quantiles, q78 cardinality, q81 membership):
+# fixed d×m counter grid, est(key) = min over rows of its counter, never an
+# underestimate. Keys are deterministically Zipf-skewed (2^20 div (md5 % 2^20
+# + 1) — P(key=k) ~ 1/k(k+1)), because frequency sketches exist FOR skew:
+# the uniform synthetic tables have no heavy hitters to find.
+# --------------------------------------------------------------------------
+
+Q86_M = 256            # buckets per row — small enough that collisions occur
+Q86_D = 3              # rows (independent md5-salted hash functions)
+Q86_HH_DIV = 50        # heavy hitter: est ≥ n_total div 50 (2 % of stream)
+
+
+def _q86_key(dialect: str) -> str:
+    """The Zipf key, exact integer arithmetic in both engines."""
+    if dialect == "spark":
+        h = ("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), "
+             "16, 10) AS BIGINT)")
+        return f"(1048576 div (({h}) % 1048576 + 1))"
+    h = ("CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) "
+         "AS BIGINT)")
+    return f"(1048576 // (({h}) % 1048576 + 1))"
+
+
+def q86_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the Zipf key stream. Build is ONE scan:
+    each row explodes into d (row, bucket) structs (bucket = the bloom-
+    family md5 position of the key, salted per row), then a map-side-
+    combined groupBy — the sketch is d·m rows REGARDLESS of stream size,
+    the whole point at 100 TB. Estimates: the d·m-row sketch broadcast-
+    joins the per-key exact counts d times; est = least of the d counters.
+    In-query contract column: est ≥ exact for EVERY key (CMS can only
+    overestimate — deterministic for a fixed dataset, so the oracle
+    reproduces it bit-for-bit, collisions included). Oracle formulation is
+    independent: d-way UNION ALL scans, no explode."""
+    from pyspark.sql import Window as W
+
+    from ..operators.bloom import position_expr
+    ev = _events(spark, sf_dir).select(
+        F.expr(_q86_key("spark")).alias("zkey"))
+    kstr = "CAST(zkey AS STRING)"
+    probes = F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.expr(position_expr(kstr, i, Q86_M)).alias("bucket"))
+        for i in range(Q86_D)])
+    sk = (ev.select(F.explode(probes).alias("p"))
+          .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = (ev.groupBy("zkey")
+             .agg(F.count(F.lit(1)).alias("n_exact"))
+             .withColumn("n_total",
+                         F.sum("n_exact").over(W.partitionBy())))
+    est = exact
+    for i in range(Q86_D):
+        ski = (sk.filter(F.col("r") == i)
+               .select(F.col("bucket").alias(f"b{i}"),
+                       F.col("cnt").alias(f"c{i}")))
+        est = est.join(F.broadcast(ski),
+                       F.expr(position_expr(kstr, i, Q86_M))
+                       == F.col(f"b{i}"))
+    cms = F.least(*[F.col(f"c{i}") for i in range(Q86_D)])
+    return (est.select(
+        F.col("zkey"), F.col("n_exact"),
+        cms.alias("cms_est"),
+        (cms >= F.col("n_exact")).alias("contract_ok"),
+        F.col("n_total"))
+        .filter(F.col("cms_est")
+                >= F.expr(f"n_total div {Q86_HH_DIV}"))
+        .drop("n_total"))
+
+
+def q86_sql() -> str:
+    from ..operators.bloom import position_expr
+    pos = [position_expr("CAST(zkey AS VARCHAR)", i, Q86_M, "duckdb")
+           for i in range(Q86_D)]
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS r, {pos[i]} AS bucket FROM keyed"
+        for i in range(Q86_D))
+    joins = "\n".join(
+        f"JOIN sk s{i} ON s{i}.r = {i} AND s{i}.bucket = {pos[i]}"
+        for i in range(Q86_D))
+    least = "least(" + ", ".join(f"s{i}.cnt" for i in range(Q86_D)) + ")"
+    return f"""
+WITH keyed AS (SELECT {_q86_key('duckdb')} AS zkey FROM events),
+sk AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+{rows}
+  ) GROUP BY r, bucket),
+exact AS (
+  SELECT zkey, CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM keyed GROUP BY zkey)
+SELECT zkey, n_exact, {least} AS cms_est,
+       {least} >= n_exact AS contract_ok
+FROM exact
+{joins}
+WHERE {least} >= n_total // {Q86_HH_DIV}
+"""
+
+
+# --------------------------------------------------------------------------
+# q87 contamination spans (gaps-and-islands): not just WHICH documents share
+# benchmark 13-grams (q46) but the longest CONTIGUOUS contaminated run —
+# one long verbatim quote reads very differently from scattered idiom hits.
+# The islands trick (position − row_number is constant within a consecutive
+# run) turns run detection into a plain groupBy.
+# --------------------------------------------------------------------------
+
+def _contam_spans_sql(dialect: str) -> str:
+    if dialect == "spark":
+        sh = (f"SELECT doc_id, p, substring(text, p, {CONTAM_NGRAM}) AS "
+              f"shingle FROM documents LATERAL VIEW explode(sequence(1, "
+              f"greatest(length(text) - {CONTAM_NGRAM - 1}, 1))) t AS p")
+    else:
+        sh = (f"SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, "
+              f"CAST(p AS INTEGER), {CONTAM_NGRAM}) AS shingle "
+              f"FROM documents, LATERAL (SELECT unnest(range(1, "
+              f"greatest(length(text) - {CONTAM_NGRAM - 1}, 1) + 1)) "
+              f"AS p) t")
+    return f"""
+WITH sh AS ({sh}),
+probe AS (SELECT DISTINCT shingle FROM sh
+          WHERE doc_id < {CONTAM_PROBE_DOCS}),
+hits AS (
+  SELECT s.doc_id, s.p,
+         CAST(s.p - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.p)
+              AS BIGINT) AS isl
+  FROM sh s JOIN probe USING (shingle)
+  WHERE s.doc_id >= {CONTAM_PROBE_DOCS}),
+runs AS (
+  SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS run_shingles
+  FROM hits GROUP BY doc_id, isl)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_shingles) AS BIGINT) AS max_run_shingles,
+       CAST(max(run_shingles) + {CONTAM_NGRAM - 1} AS BIGINT)
+         AS max_run_chars,
+       CAST(sum(run_shingles) AS BIGINT) AS n_hit_positions
+FROM runs GROUP BY doc_id
+"""
+
+
+def q87_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest contaminated run per corpus document: shingles explode
+    map-side, the probe dim broadcasts (always small — it is the
+    benchmark), ONE shuffle on doc_id shared by the row_number window and
+    both groupBys (same key → Catalyst reuses the partitioning; no second
+    exchange). At 100 TB this is q46's plan plus a window — the islands
+    arithmetic is free."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_contam_spans_sql("spark"))
+
+
+def q87_sql() -> str:
+    return _contam_spans_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q88 retention cohort matrix: cohort = a user's first active day, cell
+# (cohort, day-offset) = users from that cohort active that day — the
+# classic activity-warehouse rollup. Day numbers derive from a TIMESTAMP
+# DIFFERENCE (tz-invariant in both engines), not an absolute epoch.
+# --------------------------------------------------------------------------
+
+Q88_ANCHOR = "2024-01-01 00:00:00"
+
+
+def _retention_sql(dialect: str) -> str:
+    if dialect == "spark":
+        day = (f"CAST((unix_timestamp(ts) - unix_timestamp(TIMESTAMP "
+               f"'{Q88_ANCHOR}')) div 86400 AS BIGINT)")
+    else:
+        day = (f"CAST(date_diff('second', TIMESTAMP '{Q88_ANCHOR}', ts) "
+               f"// 86400 AS BIGINT)")
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id, {day} AS day FROM events),
+coh AS (
+  SELECT user_id, min(day) AS day0 FROM act GROUP BY user_id),
+sizes AS (
+  SELECT day0, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM coh GROUP BY day0),
+cells AS (
+  SELECT c.day0, a.day - c.day0 AS offset_days,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN coh c ON a.user_id = c.user_id
+  GROUP BY c.day0, a.day - c.day0)
+SELECT cells.day0 AS cohort_day, offset_days, n_active, cohort_size
+FROM cells JOIN sizes ON cells.day0 = sizes.day0
+"""
+
+
+def q88_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix over the event stream. The distinct, the cohort
+    min, and the activity join all key on user_id — one shuffle
+    partitioning reused end-to-end; the (day0 → cohort_size) dim is a
+    ≤ |days| row broadcast. Day arithmetic is a timestamp difference
+    floor-divided in integer seconds: exact, and independent of session
+    timezone in BOTH engines (an absolute epoch day is not)."""
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_retention_sql("spark"))
+
+
+def q88_sql() -> str:
+    return _retention_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q89 SCD type-2 interval build: collapse each user's event-type stream
+# into validity intervals [valid_from, valid_to) that change exactly when
+# the attribute changes — the slowly-changing-dimension construction every
+# warehouse load runs, and the inverse of q57's as-of probe.
+# --------------------------------------------------------------------------
+
+def _scd2_sql(dialect: str) -> str:
+    # microseconds RELATIVE to the anchor: parquet timestamps load as
+    # TIMESTAMP_NTZ in Spark (no unix_micros overload) and an absolute
+    # epoch would shift with session timezone anyway — the difference of
+    # two same-kind casts is invariant in both engines.
+    if dialect == "spark":
+        us = ("(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST("
+              f"TIMESTAMP_NTZ '{Q88_ANCHOR}' AS TIMESTAMP)))")
+    else:
+        us = (f"(epoch_us(ts) - epoch_us(TIMESTAMP '{Q88_ANCHOR}'))")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, CAST({us} AS BIGINT) AS ts_us, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+flagged AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS grp
+  FROM ordered),
+runs AS (
+  SELECT user_id, grp, min(event_type) AS event_type,
+         CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM flagged GROUP BY user_id, grp)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_us) AS valid_to_us,
+       n_events
+FROM runs
+"""
+
+
+def q89_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals via change-detection windows: lag flags a
+    change, a running sum numbers the runs, a groupBy collapses them, lead
+    closes each interval with the next one's start (NULL = still
+    current). Every window and the groupBy partition on user_id — one
+    exchange total; event_id tie-breaks equal timestamps so run numbering
+    is a total order in both engines. Timestamps stay exact integer
+    microseconds end-to-end."""
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_scd2_sql("spark"))
+
+
+def q89_sql() -> str:
+    return _scd2_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3198,6 +3467,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_triangle_counts": q83_triangle_counts,
     "q84_semantic_dedup": q84_semantic_dedup,
     "q85_domain_mixture": q85_domain_mixture,
+    "q86_cms_heavy_hitters": q86_cms_heavy_hitters,
+    "q87_contamination_spans": q87_contamination_spans,
+    "q88_retention_cohorts": q88_retention_cohorts,
+    "q89_scd2_intervals": q89_scd2_intervals,
 }
 
 # --------------------------------------------------------------------------
@@ -3306,4 +3579,8 @@ ORACLES: dict[str, str] = {
     "q83_triangle_counts": q83_sql(),
     "q84_semantic_dedup": _golden_sql("q84_semantic_dedup"),
     "q85_domain_mixture": q85_sql(),
+    "q86_cms_heavy_hitters": q86_sql(),
+    "q87_contamination_spans": q87_sql(),
+    "q88_retention_cohorts": q88_sql(),
+    "q89_scd2_intervals": q89_sql(),
 }

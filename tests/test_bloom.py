@@ -80,3 +80,26 @@ def test_bitmap_word_layout(spark):
     got_bits = {64 * w + j for w in range(m >> 6) for j in range(64)
                 if (int(bitmap[w]) >> j) & 1}
     assert got_bits == expected_bits
+
+
+def test_word_table_join_probe_matches_bitmap(spark):
+    """bloom_contains_join over the distributed (word, bits) table must be
+    bit-identical to the broadcast-bitmap probe — it is the documented
+    max_bits fallback for 100 TB probe sets."""
+    m, k = 1 << 10, 3
+    probe_vals = [f"probe-{i}" for i in range(120)]
+    corpus_vals = probe_vals[:40] + [f"fresh-{i}" for i in range(200)]
+    probe = _probe_df(spark, probe_vals)
+    bitmap = BL.bloom_build(probe, "v", m=m, k=k)
+    words = BL.bloom_word_table(probe, "v", m=m, k=k)
+
+    corpus = _probe_df(spark, corpus_vals).select(
+        "v", *[c.alias(f"p{i}") for i, c in
+               enumerate(BL.position_cols("v", m, k))])
+    via_bitmap = {r["v"]: r["hit"] for r in corpus.withColumn(
+        "hit", BL.bloom_contains(
+            corpus, [f"p{i}" for i in range(k)], bitmap)).collect()}
+    via_join = {r["v"]: r["bloom_hit"] for r in BL.bloom_contains_join(
+        corpus, "v", [f"p{i}" for i in range(k)], words).collect()}
+    assert via_join == via_bitmap
+    assert all(via_join[v] for v in probe_vals[:40])  # no false negatives

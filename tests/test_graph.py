@@ -58,3 +58,25 @@ def test_agrees_with_bruteforce(spark):
             for v in (a, b, c):
                 expected[v] = expected.get(v, 0) + 1
     assert _counts(spark, pairs) == expected
+
+
+def test_broadcast_gate_fallback_same_result(spark):
+    """Forcing n_nodes past BROADCAST_DEG_MAX_NODES must switch the degree
+    join off the broadcast hint (driver-OOM safety at web scale) without
+    changing results."""
+    import io
+    import contextlib
+    from air_health_gis_tools_spark.operators.graph import \
+        BROADCAST_DEG_MAX_NODES
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (0, 5)]
+    small = _counts(spark, edges)
+    big_df = triangle_counts(_edges_df(spark, edges),
+                             n_nodes=BROADCAST_DEG_MAX_NODES + 1)
+    assert {r["node"]: r["n_triangles"] for r in big_df.collect()} == small
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        big_df.explain("formatted")
+    # AQE may still CHOOSE broadcast at runtime for a tiny table; the gate
+    # only removes the unconditional hint — assert the static plan carries
+    # no broadcast hint on the degree join inputs.
+    assert "ResolvedHint" not in buf.getvalue()

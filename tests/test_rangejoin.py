@@ -107,3 +107,37 @@ def test_plan_is_hash_join(spark):
     p = buf.getvalue()
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert "HashJoin" in p
+
+
+def test_overlap_preserves_duplicate_input_rows(spark):
+    """First-shared-bucket emission keeps genuinely duplicate input rows
+    (the old full-row .distinct() collapsed them) while still emitting
+    each pair once per input-row pair."""
+    from air_health_gis_tools_spark.operators.rangejoin import \
+        interval_overlap_join
+    left = spark.createDataFrame(
+        [(1, 0.0, 30.0), (1, 0.0, 30.0)], "a_id long, lo double, hi double")
+    right = spark.createDataFrame(
+        [(7, 5.0, 40.0)], "b_id long, lo_r double, hi_r double")
+    rows = interval_overlap_join(left, right, bucket_w=4.0).collect()
+    assert len(rows) == 2     # one per duplicate left row, no bucket dups
+
+
+def test_overlap_negative_coordinates(spark):
+    """floor() bucketing and the greatest(start,start) first-shared-bucket
+    rule must agree for negative interval bounds too."""
+    from air_health_gis_tools_spark.operators.rangejoin import \
+        interval_overlap_join
+    left = spark.createDataFrame(
+        [(i, -50.0 + 7 * i, -40.0 + 9 * i) for i in range(12)],
+        "a_id long, lo double, hi double")
+    right = spark.createDataFrame(
+        [(j, -33.0 + 5 * j, -25.0 + 6 * j) for j in range(10)],
+        "b_id long, lo_r double, hi_r double")
+    got = sorted((r["a_id"], r["b_id"]) for r in
+                 interval_overlap_join(left, right, bucket_w=6.0).collect())
+    naive = sorted((r["a_id"], r["b_id"]) for r in
+                   left.crossJoin(right)
+                   .filter((F.col("lo") <= F.col("hi_r"))
+                           & (F.col("lo_r") <= F.col("hi"))).collect())
+    assert got == naive and len(got) > 5

@@ -124,3 +124,56 @@ def test_integer_predicate_equals_float_threshold(spark):
         for v in range(u + 1, len(vectors)):
             if abs(cos[u, v] - 0.45) > 1e-9:
                 assert ((u, v) in edges) == (cos[u, v] >= 0.45)
+
+
+def _all_pairs_edges(vectors, tau_num=9, tau_den=20):
+    """Exact near-dup pairs with NO cluster restriction (recall
+    ceiling)."""
+    return _brute_edges(vectors, np.zeros(len(vectors), np.int64),
+                        tau_num, tau_den)
+
+
+def test_multiprobe_recall_monotone_and_exact(spark):
+    """n_probe recall knob: edges at n_probe=1 ⊆ n_probe=2 ⊆ … ⊆ the
+    exact all-pairs set; every extra edge still satisfies the exact
+    predicate (probes add recall, never false positives), and no edge is
+    emitted twice (canonical-emission rule)."""
+    base = _rng_vectors(60, seed=21)
+    planted = base[:10] + _rng_vectors(10, seed=22) * 0.01
+    vectors = np.vstack([base, planted.astype(np.float32)])
+    df = _emb_df(spark, vectors)
+    ceiling = _all_pairs_edges(vectors)
+    assert ceiling
+    prev: set = set()
+    for p in (1, 2, 4):
+        rows = semantic_neardup_edges_np(df, n_lists=4, n_probe=p).collect()
+        edges = [(r["id1"], r["id2"]) for r in rows]
+        assert len(edges) == len(set(edges)), "duplicate edge emitted"
+        eset = set(edges)
+        assert prev <= eset
+        assert eset <= ceiling
+        prev = eset
+    # n_probe = n_lists probes every list: boundary pairs whose two homes
+    # are both probed are all recovered — recall must strictly improve on
+    # a fixture whose n_probe=1 set is below the ceiling, or already be
+    # at the ceiling
+    full = {(r["id1"], r["id2"]) for r in
+            semantic_neardup_edges_np(df, n_lists=4, n_probe=4).collect()}
+    one = {(r["id1"], r["id2"]) for r in
+           semantic_neardup_edges_np(df, n_lists=4, n_probe=1).collect()}
+    assert len(full) >= len(one)
+
+
+def test_multiprobe_default_matches_expression_kernel(spark):
+    """n_probe=1 (the default) must remain bit-identical to the Catalyst
+    expression form — the q84 golden contract."""
+    base = _rng_vectors(30, seed=31)
+    planted = base[:5] + _rng_vectors(5, seed=32) * 0.01
+    vectors = np.vstack([base, planted.astype(np.float32)])
+    df = _emb_df(spark, vectors)
+    expr_edges = {(r["id1"], r["id2"]) for r in
+                  semantic_neardup_edges(df, n_lists=4).collect()}
+    np_edges = {(r["id1"], r["id2"]) for r in
+                semantic_neardup_edges_np(df, n_lists=4,
+                                          n_probe=1).collect()}
+    assert expr_edges == np_edges
