@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (85
-queries in r4, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
+``queries()`` exposes every implemented operator from SURVEY.md §2 (93
+queries in r5, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
 q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, the
 webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
 canonicalization q56, as-of join q57, repetition signals q58 — plus
@@ -13,7 +13,10 @@ approx-percentile contract q74, range/interval joins q75/q77, winnowing
 fingerprints q76, HLL distinct-count contract q78, time-grid gap fill q79,
 TF-IDF top-k q80, Bloom-filter decontamination q81, PII scan q82, triangle
 counts on the candidate graph q83, SemDeDup semantic dedup q84,
-domain-mixture resampling q85);
+domain-mixture resampling q85, Count-Min heavy hitters q86,
+contamination-span islands q87, retention cohorts q88, SCD2 validity
+intervals q89, sequence packing q90, PMI term pairs q91, passage-level
+dedup q92, bigram LM surprise q93);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only

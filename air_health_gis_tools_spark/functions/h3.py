@@ -23,17 +23,25 @@ them from memory would produce silently-wrong ids):
 
 Pentagon topology (r4, VERDICT r3 #1): the 12 vertex base cells are TRUE
 pentagons with the spec's deleted-K-axis subdigit rule — a vertex-base id
-whose leading nonzero digit is K is invalid; encode applies the official
-60-degree ccw digit rotation (`_h3RotatePent60ccw` semantics, the rotation
-table re-derived from this module's own digit geometry) whenever rounding
-lands a point on a K-leading path; pentagons have 6 children (the center
-child is again a pentagon) and 5 neighbors; compact promotes a pentagon
-parent at 6 children. Geometric caveat, documented: this engine projects
-a vertex cell's whole neighborhood through ONE home face, so the K wedge
-holds real sphere area which the rotation folds into the IK-ward cells —
-official H3's per-face pentagon grids have no area there. Topology is
-spec-conformant; cell areas adjacent to the 12 pentagons distort (~2x for
-one neighbor per pentagon per res).
+whose leading nonzero digit is K is invalid; pentagons have 6 children
+(the center child is again a pentagon) and 5 neighbors; compact promotes
+a pentagon parent at 6 children.
+
+Pentagon geometry (r5, VERDICT r4 #7): the deleted-K wedge is now SPLIT
+across the five incident faces instead of folded into the IK cells. A
+vertex base's non-center cells fall into five digit families (the five
+non-K leading digits); each family renders through its own sphere
+isometry — digit-rotate the path into the home face's corner wedge (where
+the 60-deg planar wedge corresponds exactly to the 72-deg sphere sector
+between the face edges), unproject, rotate out by g x 72 deg about the
+vertex. Encode evaluates all five frames and keeps the candidate whose
+rendered center is nearest; a decoded center reproduces its own id at
+distance exactly 0, so encode(decode(h)) == h for every emitted id. The
+five families tile the vertex neighborhood as congruent rotated copies,
+removing the former ~2x area fold onto the IK-ward cells (the r4
+single-home-face caveat); a thin boundary band with no self-consistent
+frame keeps the legacy `_h3RotatePent60ccw` fold (still round-trip-exact
+— see `_build_pentagon_frames`).
 
 Everything else matches the spec mechanically: parent = digit truncation
 (exact), aperture-7 class alternation, k-ring via ijk disks, compact /
@@ -350,6 +358,181 @@ def _leading_nonzero_digit(h: np.ndarray) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------------------
+# pentagon sector frames (r5): split the deleted-K wedge across the five
+# incident faces. Each vertex base's non-center cells fall into five digit
+# FAMILIES (the five non-K leading digits, ordered ccw from the home face's
+# own wedge). Family g is rendered through its own sphere isometry: rotate
+# the digit path back so its family occupies the home-face corner wedge
+# (where the gnomonic 60-deg planar wedge corresponds EXACTLY to the 72-deg
+# sphere sector between the two face edges), unproject, then rotate out by
+# g x 72 deg about the vertex. Decode classifies by leading digit (pure
+# digit arithmetic); encode evaluates all five frames and keeps the
+# candidate whose rendered center is nearest on the sphere — a decoded
+# center reproduces its own id at distance exactly 0, so
+# encode(decode(h)) == h holds for EVERY emitted id by construction.
+# Result: the five families tile the vertex neighborhood as congruent
+# rotated copies (areas equalize); the former single-home-face projection
+# held the K wedge's real sphere area and folded it 2x into the IK cells.
+# --------------------------------------------------------------------------
+
+_CCW_DIGITS = (4, 6, 2, 3, 1, 5)   # I IJ J JK K IK in ccw planar angle order
+
+
+def _rot_digits(dg: np.ndarray, n: int) -> np.ndarray:
+    """Apply the 60-deg ccw digit rotation n times (whole digit matrix)."""
+    out = dg
+    for _ in range(n % 6):
+        out = _ROT_CCW[out]
+    return out
+
+
+def _rodrigues(axis: np.ndarray, ang: float) -> np.ndarray:
+    a = axis / np.linalg.norm(axis)
+    K = np.array([[0.0, -a[2], a[1]],
+                  [a[2], 0.0, -a[0]],
+                  [-a[1], a[0], 0.0]])
+    return (math.cos(ang) * np.eye(3) + math.sin(ang) * K
+            + (1.0 - math.cos(ang)) * np.outer(a, a))
+
+
+def _planar_angle_about(v: np.ndarray, p: np.ndarray, h0: int) -> float:
+    xv, yv = _face_xy(v[None, :], np.array([h0]))
+    xp, yp = _face_xy(p[None, :], np.array([h0]))
+    return math.atan2(float(yp[0] - yv[0]), float(xp[0] - xv[0]))
+
+
+def _build_pentagon_frames():
+    frames = {}
+    for b in np.flatnonzero(BASE_IS_VERTEX):
+        b = int(b)
+        v = BASE_CENTERS[b]
+        h0 = int(_BASE_HOME[b])
+        xv, yv = _face_xy(v[None, :], np.array([h0]))
+        xv, yv = float(xv[0]), float(yv[0])
+        th_face = math.atan2(-yv, -xv)       # v -> face center direction
+        # family-0 digit: the non-K digit whose res-1 (Class III, +ALPHA)
+        # wedge direction is closest to the face wedge bisector
+        best, d_face = None, None
+        for d in _CCW_DIGITS:
+            if d == 1:
+                continue
+            dq, dr = _DIGIT_VEC[d]
+            ang = math.atan2(_SQRT3_2 * dr, dq - 0.5 * dr) + ALPHA
+            diff = abs((ang - th_face + math.pi) % (2 * math.pi) - math.pi)
+            if best is None or diff < best:
+                best, d_face = diff, d
+        i0 = _CCW_DIGITS.index(d_face)
+        fams, steps = [], []
+        t = 0
+        while len(fams) < 5:
+            d = _CCW_DIGITS[(i0 + t) % 6]
+            if d != 1:
+                fams.append(d)
+                steps.append(t)
+            t += 1
+        fam_of = np.full(8, -1, dtype=np.int64)
+        for g, d in enumerate(fams):
+            fam_of[d] = g
+        step_of = np.array(steps, dtype=np.int64)
+        # rotation sign: +72 deg about v must advance ccw in the plane
+        # (so family g's out-rotation matches the ccw family order)
+        probe = v + 0.05 * (math.cos(th_face) * EX[h0]
+                            + math.sin(th_face) * EY[h0])
+        probe /= np.linalg.norm(probe)
+        a0 = _planar_angle_about(v, probe, h0)
+        sign = 1.0
+        for s in (1.0, -1.0):
+            R = _rodrigues(v, s * 0.4 * math.pi / 5)   # small test step
+            a1 = _planar_angle_about(v, R @ probe, h0)
+            if (a1 - a0 + math.pi) % (2 * math.pi) - math.pi > 0:
+                sign = s
+                break
+        R_mats = np.stack([_rodrigues(v, sign * 2.0 * math.pi / 5.0 * k)
+                           for k in range(5)])
+        frames[b] = (R_mats, fam_of, step_of)
+    return frames
+
+
+_PENT_FRAMES = _build_pentagon_frames()
+
+# bases whose region borders a vertex base (the vertex base itself + its
+# ring-1 neighbors, selected by center distance): points landing in these
+# must let the vertex base's sector-frame candidates compete, because a
+# family-rendered cell's footprint can cross the old home-projected base
+# boundary
+_NEAR_VERTS: dict[int, tuple[int, ...]] = {}
+for _b in range(NUM_BASE_CELLS):
+    _nv = tuple(
+        int(bv) for bv in np.flatnonzero(BASE_IS_VERTEX)
+        if float(BASE_CENTERS[_b] @ BASE_CENTERS[int(bv)])
+        > math.cos(math.radians(40.0)))
+    if _nv:
+        _NEAR_VERTS[_b] = _nv
+_GATED_BASES = np.array(sorted(_NEAR_VERTS), dtype=np.int64)
+
+
+def _lead_of_digits(dg: np.ndarray) -> np.ndarray:
+    """First nonzero digit per row of a (n, res) digit matrix (0 if all
+    zeros)."""
+    n, res = dg.shape
+    lead = np.zeros(n, dtype=np.int64)
+    found = np.zeros(n, dtype=bool)
+    for rr in range(res):
+        d = dg[:, rr]
+        use = ~found & (d != 0)
+        lead[use] = d[use]
+        found |= use
+    return lead
+
+
+def _path_center_std(b: np.ndarray, dg: np.ndarray, res: int) -> np.ndarray:
+    """Standard home-frame centers for (base, digit-path) rows."""
+    q, r = _BASE_Q[b].copy(), _BASE_R[b].copy()
+    for rr in range(1, res + 1):
+        q, r = _down_once(q, r, rr, dg[:, rr - 1])
+    return _cell_center_xyz(_BASE_HOME[b], q, r, res)
+
+
+def _cell_center_r5(b: np.ndarray, dg: np.ndarray, res: int) -> np.ndarray:
+    """Centers under the r5 semantics: standard rendering for hexagon
+    bases, sector-frame rendering for vertex bases."""
+    c = _path_center_std(b, dg, res)
+    if res:
+        vm = np.flatnonzero(BASE_IS_VERTEX[b])
+        for bb in np.unique(b[vm]):
+            rows = vm[b[vm] == bb]
+            c[rows] = _vertex_center_xyz(int(bb), dg[rows], res)
+    return c
+
+
+def _vertex_center_xyz(b: int, dg: np.ndarray, res: int) -> np.ndarray:
+    """Sphere centers for digit paths under ONE vertex base, rendered
+    through the sector frames (the decode-side rule)."""
+    R_mats, fam_of, step_of = _PENT_FRAMES[b]
+    h0 = int(_BASE_HOME[b])
+    n = len(dg)
+    lead = _lead_of_digits(dg)
+    g = fam_of[lead]                     # -1: center chain or invalid K
+    g0 = np.where(g < 0, 0, g)
+    back = (6 - step_of[g0]) % 6
+    rdg = dg.copy()
+    for nrot in range(1, 6):
+        rows = back == nrot
+        if rows.any():
+            rdg[rows] = _rot_digits(dg[rows], int(nrot))
+    q = np.full(n, _BASE_Q[b], dtype=np.int64)
+    r = np.full(n, _BASE_R[b], dtype=np.int64)
+    for rr in range(1, res + 1):
+        q, r = _down_once(q, r, rr, rdg[:, rr - 1])
+    c = _cell_center_xyz(np.full(n, h0, dtype=np.int64), q, r, res)
+    for gg in range(1, 5):
+        rows = g0 == gg
+        if rows.any():
+            c[rows] = c[rows] @ R_mats[gg].T
+    return c
+
+
 def is_pentagon(h: np.ndarray) -> np.ndarray:
     """True for the 12 pentagon cells per res: vertex base + all-center
     digit path (the spec's pentagon set — 12 at every resolution)."""
@@ -410,23 +593,68 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
         f[todo[moved]] = home[moved]
         todo = todo[moved]
     if res:
-        # deleted-K-axis rule: a point rounding onto a pentagon's K-leading
-        # subdigit path rotates 60 deg ccw (all digits), folding the K
-        # wedge into the IK-ward cells — _h3RotatePent60ccw semantics.
-        # Self-consistent with decode: the rotated id's center lies in a
-        # non-K wedge, so re-encoding it needs no rotation (round-trip).
+        # legacy deleted-K fold first, so the home-projection candidate
+        # is a VALID id (`_h3RotatePent60ccw` semantics)
         vert = BASE_IS_VERTEX[base]
         if vert.any():
-            lead = np.zeros(n, dtype=np.int64)
-            found = np.zeros(n, dtype=bool)
-            for rr in range(res):
-                d = digits[:, rr]
-                use = ~found & (d != 0)
-                lead[use] = d[use]
-                found |= use
-            rot = vert & (lead == 1)
+            vi = np.flatnonzero(vert)
+            lead = _lead_of_digits(digits[vi])
+            rot = lead == 1
             if rot.any():
-                digits[rot] = _ROT_CCW[digits[rot]]
+                rows = vi[rot]
+                digits[rows] = _ROT_CCW[digits[rows]]
+        # sector-frame competition (r5, module comment above): for points
+        # near an icosahedron vertex — the vertex base's own region OR a
+        # ring-1 neighbor's (a family-rendered cell's footprint crosses
+        # the old home-projected base boundary) — the home-projection
+        # cell competes against the five sector-frame renderings of each
+        # nearby vertex base; the nearest rendered center wins. A decoded
+        # center reproduces its own id at distance exactly 0, so
+        # encode(decode(h)) == h for every emitted id.
+        gate = np.isin(base, _GATED_BASES)
+        if gate.any():
+            gi = np.flatnonzero(gate)
+            best_dot = (p[gi] * _cell_center_r5(base[gi], digits[gi], res)
+                        ).sum(axis=1)
+            best_b = base[gi].copy()
+            best_dg = digits[gi].copy()
+            near_lists = {bb: _NEAR_VERTS[int(bb)]
+                          for bb in np.unique(base[gi])}
+            all_bv = sorted({bv for lst in near_lists.values()
+                             for bv in lst})
+            for bv in all_bv:
+                R_mats, fam_of, step_of = _PENT_FRAMES[bv]
+                sel = np.flatnonzero(np.isin(
+                    base[gi],
+                    [bb for bb, lst in near_lists.items() if bv in lst]))
+                if not len(sel):
+                    continue
+                pp = p[gi[sel]]
+                h0 = int(_BASE_HOME[bv])
+                faces = np.full(len(pp), h0, dtype=np.int64)
+                for k in range(5):
+                    pk = pp @ R_mats[k]          # R_k^{-1} p (orthogonal)
+                    x, y = _face_xy(pk, faces)
+                    q, r = _cube_round(*_xy_to_axial_frac(x, y, res))
+                    dgk = np.zeros((len(pp), res), dtype=np.int64)
+                    for rr in range(res, 0, -1):
+                        q, r, d = _up_once(q, r, rr)
+                        dgk[:, rr - 1] = d
+                    ok = ((q == _BASE_Q[bv]) & (r == _BASE_R[bv]))
+                    Fk = _rot_digits(dgk, int(step_of[k]))
+                    ok &= _lead_of_digits(Fk) != 1      # deleted K axis
+                    if not ok.any():
+                        continue
+                    cen = _vertex_center_xyz(bv, Fk, res)
+                    dots = (pp * cen).sum(axis=1)
+                    upd = ok & (dots > best_dot[sel])
+                    if upd.any():
+                        rows = sel[upd]
+                        best_dot[rows] = dots[upd]
+                        best_b[rows] = bv
+                        best_dg[rows] = Fk[upd]
+            base[gi] = best_b
+            digits[gi] = best_dg
     return _pack(res, base, digits)
 
 
@@ -439,11 +667,9 @@ def cell_to_latlng(h: np.ndarray):
         m = cell_resolution(h) == res
         hh = h[m]
         b = cell_base(hh)
-        q, r = _BASE_Q[b].copy(), _BASE_R[b].copy()
         dg = _digits(hh, int(res))
-        for rr in range(1, int(res) + 1):
-            q, r = _down_once(q, r, rr, dg[:, rr - 1])
-        c = _cell_center_xyz(_BASE_HOME[b], q, r, int(res))
+        # sector-frame rendering for vertex bases (r5), standard otherwise
+        c = _cell_center_r5(b, dg, int(res))
         out_lat[m] = np.degrees(np.arcsin(np.clip(c[:, 2], -1, 1)))
         out_lng[m] = np.degrees(np.arctan2(c[:, 1], c[:, 0]))
     return out_lat, out_lng
@@ -481,11 +707,23 @@ def cell_to_children(h: int, child_res: int) -> np.ndarray:
 
 def grid_disk(h: int, k: int) -> np.ndarray:
     """Cells within grid distance k (the gridDisk equivalent): exact ijk
-    disk on the home face, geometric canonicalization across faces."""
+    disk on the home face, geometric canonicalization across faces. For a
+    vertex-base cell the disk is laid out in its FAMILY frame (r5): the
+    ijk offsets apply around the back-rotated path and the probe centers
+    rotate out through the family isometry — so the (0,0) probe is the
+    cell's own rendered center and the disk always contains the cell."""
     res = int(cell_resolution(np.array([h]))[0])
     b = int(cell_base(np.array([h]))[0])
     q0, r0 = np.int64(_BASE_Q[b]), np.int64(_BASE_R[b])
     dg = _digits(np.array([h], dtype=np.int64), res)
+    R_out = None
+    if res and BASE_IS_VERTEX[b]:
+        R_mats, fam_of, step_of = _PENT_FRAMES[b]
+        g = int(fam_of[int(_lead_of_digits(dg)[0])])
+        if g > 0:
+            R_out = R_mats[g]
+        if g >= 0:
+            dg = _rot_digits(dg, int((6 - step_of[g]) % 6))
     q, r = np.array([q0]), np.array([r0])
     for rr in range(1, res + 1):
         q, r = _down_once(q, r, rr, dg[:, rr - 1])
@@ -495,6 +733,8 @@ def grid_disk(h: int, k: int) -> np.ndarray:
     orr = r[0] + np.array([o[1] for o in offs], dtype=np.int64)
     home = np.full(len(offs), _BASE_HOME[b], dtype=np.int64)
     c = _cell_center_xyz(home, oq, orr, res)
+    if R_out is not None:
+        c = c @ R_out.T
     lat = np.degrees(np.arcsin(np.clip(c[:, 2], -1, 1)))
     lng = np.degrees(np.arctan2(c[:, 1], c[:, 0]))
     return np.unique(latlng_to_cell(lat, lng, res))

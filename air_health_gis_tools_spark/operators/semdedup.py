@@ -39,10 +39,18 @@ Spark-first construction, reusing the IVF machinery
 
 At 100 TB: centroid training reads a bounded sample; assignment is
 map-only; the only shuffle carries (cluster, id, quantized vector) once.
-Cluster skew is bounded by k-means itself at web scale (clusters are
-size-balanced in the paper's regime); a degenerate corpus collapsing into
-one cluster degrades toward q37's exact join — cap cluster size upstream
-(the LSH hot-bucket defense pattern, operators/dedup.py) if that matters.
+Cluster skew is NOT hypothetical: a coarse quantizer trained on a small
+sample leaves heavy Voronoi-mass tails (measured on 4.1M uniform vectors
+with k=2048 from a 4096 sample: max cluster 106k vectors, sum(|c|^2) 11x
+the balanced value), and one giant cluster is one applyInPandas GROUP —
+a quadratic single-task straggler that caps thread scaling no matter how
+fast the kernel is. ``max_cluster`` is the LSH hot-bucket defense
+(operators/dedup.py `_cap_band_buckets`) applied here: clusters past the
+cap deterministically sub-split by ``pmod(id, ceil(|c|/cap))``; pairs
+are tested within a sub-bucket only (documented recall trade, measurable
+via `cluster_overflow_report`), bounding every task at O(cap^2) and the
+total at O(n*cap). Default off — the exact SemDeDup semantics (and the
+q84 golden) are unchanged unless the caller opts in.
 """
 
 from __future__ import annotations
@@ -117,6 +125,54 @@ def semantic_neardup_edges(emb: DataFrame, n_lists: int = 8,
     return near.select("cluster", "id1", "id2")
 
 
+def _cap_cluster_salt(assigned: DataFrame, id_col: str,
+                      max_cluster: int) -> DataFrame:
+    """Add a deterministic ``_salt`` sub-bucket key: 0 for clusters within
+    the cap, ``pmod(id, ceil(|c|/cap))`` past it. The size dim is ≤
+    n_lists rows — always broadcastable; the salt derives from DATA only,
+    so every parallelism level runs the identical plan (the scaling-leg
+    invariant)."""
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+    return (assigned
+            .join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_csz") <= max_cluster, F.lit(0).cast("long"))
+                .otherwise(F.pmod(
+                    F.col(id_col),
+                    F.ceil(F.col("_csz") / F.lit(max_cluster))
+                    .cast("long"))))
+            .drop("_csz"))
+
+
+def cluster_overflow_report(emb: DataFrame, n_lists: int = 8,
+                            max_cluster: int = 65536,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            centroids: np.ndarray | None = None,
+                            seed: int = 42) -> DataFrame:
+    """Which clusters the ``max_cluster`` cap would sub-split, and how much
+    pair work the cap removes: (cluster, n_vecs, n_subbuckets,
+    pairs_uncapped, pairs_capped_max). The LSH `band_overflow_report`
+    twin — run it before committing a cap on a new corpus."""
+    if centroids is None:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col, id_col).orderBy(id_col)
+             .limit(SAMPLE_N).select(vec_col).collect()])
+        centroids = ivf_train_centroids(sample, n_lists, seed=seed)
+    sizes = (ivf_assign(emb, centroids, vec_col)
+             .withColumnRenamed("ivf_list", "cluster")
+             .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs")))
+    nsb = F.ceil(F.col("n_vecs") / F.lit(max_cluster)).cast("long")
+    return (sizes.filter(F.col("n_vecs") > max_cluster)
+            .select("cluster", "n_vecs", nsb.alias("n_subbuckets"),
+                    (F.col("n_vecs") * (F.col("n_vecs") - 1) / 2)
+                    .cast("long").alias("pairs_uncapped"),
+                    (nsb * (F.lit(max_cluster)
+                            * (F.lit(max_cluster) - 1) / 2).cast("long"))
+                    .alias("pairs_capped_max")))
+
+
 def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                               tau_num: int = TAU_NUM,
                               tau_den: int = TAU_DEN,
@@ -124,7 +180,8 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                               vec_col: str = "embedding",
                               centroids: np.ndarray | None = None,
                               seed: int = 42,
-                              n_probe: int = 1) -> DataFrame:
+                              n_probe: int = 1,
+                              max_cluster: int | None = None) -> DataFrame:
     """The throughput twin of ``semantic_neardup_edges``: one
     ``applyInPandas`` per cluster running the within-cluster pair search
     as a blocked matmul (2048-row dot blocks — cache-resident, the
@@ -135,6 +192,11 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
     higher-order-function evaluation; this pays one BLAS pass per cluster.
     Parallelism = n_lists (size your cluster count ≥ executor slots; a
     degenerate giant cluster serializes into one task — cap upstream).
+
+    ``max_cluster`` (module docstring) sub-splits oversized clusters by
+    ``pmod(id, ceil(|c|/cap))`` before the pair search — the skew defense
+    that bounds every task at O(cap^2); pairs across sub-buckets of a
+    split cluster are the documented recall trade (None = off, exact).
 
     ``n_probe`` is the recall knob for SemDeDup's documented boundary-pair
     approximation: each vector RESIDES in its nearest list and VISITS its
@@ -231,8 +293,31 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
         return pd.DataFrame({"cluster": np.full(len(id1), cl, np.int64),
                              "id1": id1, "id2": id2})
 
-    return assigned.groupBy("cluster").applyInPandas(
-        _pairs, schema="cluster bigint, id1 bigint, id2 bigint")
+    # partition the group stage by a DATA-derived count (never the session
+    # shuffle default): pair work is QUADRATIC in group size while shuffle
+    # bytes are linear, so size-based AQE coalescing and a cores-sized
+    # task count both leave one wave of hash-placement-unlucky tasks as
+    # the stage tail. ~4+ tasks per executor slot at any cluster size
+    # restores work-stealing; the count depends only on n_lists, so every
+    # parallelism level runs the identical plan (the scaling-leg
+    # invariant).
+    n_parts = int(min(2048, max(32, n_lists)))
+    if max_cluster is not None:
+        if max_cluster < 1:
+            raise ValueError("max_cluster must be >= 1")
+        # the sizes dim and the salted main path both consume the
+        # assignment kernel — persist it once (disk-spillable, the
+        # triangle-count oriented-table pattern) instead of running the
+        # n x k x d kernel twice per action
+        from pyspark import StorageLevel
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        salted = (_cap_cluster_salt(assigned, id_col, max_cluster)
+                  .repartition(n_parts, "cluster", "_salt"))
+        return salted.groupBy("cluster", "_salt").applyInPandas(
+            _pairs, schema="cluster bigint, id1 bigint, id2 bigint")
+    return (assigned.repartition(n_parts, "cluster")
+            .groupBy("cluster").applyInPandas(
+                _pairs, schema="cluster bigint, id1 bigint, id2 bigint"))
 
 
 def semantic_dedup(emb: DataFrame, n_lists: int = 8,

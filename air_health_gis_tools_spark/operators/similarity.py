@@ -146,9 +146,17 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     @F.pandas_udf(T.IntegerType())
     def _assign(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
-        # argmin ||v - c||² = argmin (c·c - 2 v·c)
-        d = c2[None, :] - 2.0 * (m @ cents.T)
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        # argmin ||v - c||² = argmin (c·c - 2 v·c), chunked over rows so
+        # the (chunk, k) distance matrix stays cache-resident (~2 MB at
+        # k=512) instead of one whole-Arrow-batch temporary (~160 MB at
+        # 10k rows × 2k lists — the memory-bus-bound whole-batch-gather
+        # antipattern; each row's argmin is independent, so chunking is
+        # bit-identical)
+        out = np.empty(len(m), dtype=np.int32)
+        for s in range(0, len(m), 512):
+            d = c2[None, :] - 2.0 * (m[s:s + 512] @ cents.T)
+            out[s:s + 512] = np.argmin(d, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return df.withColumn("ivf_list", _assign(F.col(vec_col)))
 
@@ -168,8 +176,13 @@ def ivf_assign_topp(df: DataFrame, centroids: np.ndarray,
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _assign(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
-        d = c2[None, :] - 2.0 * (m @ cents.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :p].astype(np.int32)
+        # row-chunked like ivf_assign (same cache-residency rationale,
+        # same bit-identical argument — stable argsort per row)
+        idx = np.empty((len(m), p), dtype=np.int32)
+        for s in range(0, len(m), 512):
+            d = c2[None, :] - 2.0 * (m[s:s + 512] @ cents.T)
+            idx[s:s + 512] = np.argsort(
+                d, axis=1, kind="stable")[:, :p].astype(np.int32)
         return pd.Series(list(idx))
 
     return df.withColumn("ivf_probes", _assign(F.col(vec_col)))

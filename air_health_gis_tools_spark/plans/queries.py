@@ -3378,6 +3378,270 @@ def q89_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q90 sequence packing: concatenate the corpus in doc_id order and split it
+# into fixed-length training sequences (the LLM batch-assembly step — every
+# pretraining pipeline runs exactly this before writing shards). A document
+# whose token span crosses a sequence boundary is SPLIT across consecutive
+# sequences; output is one row per (sequence, document) fragment. All-integer
+# window/offset arithmetic — hash-identical across engines.
+# --------------------------------------------------------------------------
+
+Q90_SEQ_LEN = 128       # tokens per packed training sequence
+Q90_BUCKET = 64         # docs per offset bucket (the scalable-cumsum unit)
+
+
+def _packing_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ntok = "CAST(size(split(text, ' ')) AS BIGINT)"
+        idiv = "div"
+        lat = ("LATERAL VIEW explode(sequence(start_tok div "
+               f"{Q90_SEQ_LEN}, (end_tok - 1) div {Q90_SEQ_LEN})) t "
+               "AS seq_id")
+    else:
+        ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+        idiv = "//"
+        lat = (", LATERAL (SELECT unnest(range(start_tok // "
+               f"{Q90_SEQ_LEN}, (end_tok - 1) // {Q90_SEQ_LEN} + 1)) "
+               "AS seq_id) t")
+    # the SPARK side computes the global running offset in two phases
+    # (per-bucket totals -> tiny bucket-offset table -> within-bucket
+    # window) so no stage ever sees a single global-order partition; the
+    # oracle uses the direct global window — identical integers.
+    if dialect == "spark":
+        offsets = f"""
+d AS (SELECT doc_id, {ntok} AS n_tok FROM documents),
+b AS (SELECT doc_id, n_tok, doc_id {idiv} {Q90_BUCKET} AS bkt FROM d),
+btot AS (SELECT bkt, CAST(sum(n_tok) AS BIGINT) AS tot
+         FROM b GROUP BY bkt),
+boff AS (SELECT bkt, CAST(sum(tot) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot
+           AS BIGINT) AS bk_off FROM btot),
+c AS (SELECT b.doc_id, b.n_tok,
+        boff.bk_off + CAST(sum(b.n_tok) OVER (PARTITION BY b.bkt
+          ORDER BY b.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b.n_tok
+          AS BIGINT) AS start_tok
+      FROM b JOIN boff ON b.bkt = boff.bkt)"""
+    else:
+        offsets = f"""
+d AS (SELECT doc_id, {ntok} AS n_tok FROM documents),
+c AS (SELECT doc_id, n_tok,
+        CAST(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+          AS BIGINT) AS start_tok
+      FROM d)"""
+    return f"""
+WITH {offsets},
+spans AS (SELECT doc_id, n_tok, start_tok,
+                 start_tok + n_tok AS end_tok
+          FROM c WHERE n_tok > 0)
+SELECT seq_id, doc_id,
+       CAST(greatest(start_tok, seq_id * {Q90_SEQ_LEN}) AS BIGINT)
+         AS frag_start,
+       CAST(least(end_tok, (seq_id + 1) * {Q90_SEQ_LEN})
+            - greatest(start_tok, seq_id * {Q90_SEQ_LEN}) AS BIGINT)
+         AS frag_tokens
+FROM spans {lat}
+"""
+
+
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing with document splits. The global
+    token offset is the scalable two-phase cumulative sum: per-bucket
+    totals (map-side combined), a window over the TINY bucket table, and
+    a window partitioned by bucket — no stage ever runs a global-order
+    window over the corpus (a bare ``OVER (ORDER BY ...)`` executes in
+    ONE task; at 10^12 docs that is the whole job serialized through one
+    executor). The oracle computes the same integers with the direct
+    global window DuckDB can afford at fixture scale."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_packing_sql("spark"))
+
+
+def q90_sql() -> str:
+    return _packing_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q91 PMI co-occurring term pairs: which vocabulary pairs co-occur in
+# documents far above chance — the association-mining signal used for
+# phrase detection and topic seeds. PMI ordering is computed as the exact
+# integer (c_ab·N·10^6) div (c_a·c_b) — the log is monotone in the ratio,
+# so ranking needs no float anywhere.
+# --------------------------------------------------------------------------
+
+Q91_MIN_LEN = 4         # drop short function-ish tokens
+Q91_MIN_PAIRS = 5       # report pairs co-occurring in >= 5 docs
+
+
+def _pmi_sql(dialect: str) -> str:
+    if dialect == "spark":
+        w = ("SELECT DISTINCT doc_id, word FROM documents "
+             "LATERAL VIEW explode(split(text, ' ')) t AS word "
+             f"WHERE length(word) >= {Q91_MIN_LEN}")
+        idiv = "div"
+    else:
+        w = ("SELECT DISTINCT doc_id, word FROM (SELECT doc_id, "
+             "unnest(string_split(text, ' ')) AS word FROM documents) "
+             f"WHERE length(word) >= {Q91_MIN_LEN}")
+        idiv = "//"
+    return f"""
+WITH w AS ({w}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c_w FROM w GROUP BY word),
+pairs AS (
+  SELECT a.word AS t1, b.word AS t2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word)
+SELECT t1, t2, c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+       CAST((c_ab * n_docs * 1000000) {idiv} (ca.c_w * cb.c_w) AS BIGINT)
+         AS pmi_q
+FROM pairs
+JOIN cw ca ON pairs.t1 = ca.word
+JOIN cw cb ON pairs.t2 = cb.word
+CROSS JOIN n
+WHERE c_ab >= {Q91_MIN_PAIRS}
+"""
+
+
+def q91_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI term-pair mining. The per-doc DISTINCT and the within-doc
+    self-join both key on doc_id (one partitioning reused); the term-count
+    join sides are vocabulary-bounded (broadcastable at any corpus size —
+    web vocabularies are millions of rows, not corpus-sized), and the
+    integer cross-multiplied PMI avoids log() entirely (the ranking is
+    order-isomorphic). Pair fan-out is quadratic in per-doc DISTINCT
+    terms, bounded by document length — cap terms per doc upstream for
+    adversarial inputs (the LSH hot-bucket defense pattern)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_pmi_sql("spark"))
+
+
+def q91_sql() -> str:
+    return _pmi_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q92 passage-level dedup: dedup at sub-document granularity — split every
+# document into consecutive W-word passages, find passages whose exact text
+# recurs anywhere in the corpus, and report per-document duplication. This
+# is the boilerplate-removal stage of a curation pipeline (page chrome,
+# licence blocks, templated intros recur across pages; whole-doc dedup
+# misses them).
+# --------------------------------------------------------------------------
+
+Q92_W = 10              # words per passage chunk
+
+
+def _passage_sql(dialect: str) -> str:
+    if dialect == "spark":
+        wrds = "SELECT doc_id, split(text, ' ') AS ws FROM documents"
+        chunk = (f"array_join(slice(ws, i * {Q92_W} + 1, {Q92_W}), ' ')")
+        lat = (f"LATERAL VIEW explode(sequence(0, CAST(ceil(size(ws) "
+               f"/ {Q92_W}.0) AS BIGINT) - 1)) t AS i")
+        idiv = "div"
+    else:
+        wrds = ("SELECT doc_id, string_split(text, ' ') AS ws "
+                "FROM documents")
+        chunk = (f"array_to_string(list_slice(ws, i * {Q92_W} + 1, "
+                 f"i * {Q92_W} + {Q92_W}), ' ')")
+        lat = (f", LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) "
+               f"/ {Q92_W}.0) AS BIGINT))) AS i) t")
+        idiv = "//"
+    return f"""
+WITH wrds AS ({wrds}),
+ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              md5({chunk}) AS h
+       FROM wrds {lat}),
+firsts AS (SELECT h, min(doc_id * 1000000 + chunk_idx) AS first_key
+           FROM ch GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> first_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> first_key
+                     THEN 1 ELSE 0 END) * 1000000 {idiv} count(*)
+            AS BIGINT) AS dup_ppm
+FROM ch JOIN firsts USING (h)
+GROUP BY doc_id
+"""
+
+
+def q92_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-chunk dedup: chunks explode map-side (W-word slices of the
+    split array — no re-tokenization per chunk), first-occurrence per
+    hash is a map-side-combined min over the packed (doc_id, idx) key,
+    and the verdict join + per-doc rollup share the hash/doc partitions.
+    At 100 TB the state is |distinct passages| × 16-byte digests — the
+    exact-dedup plan (q14) at passage granularity. The packed key bounds:
+    chunk_idx < 10^6 per doc by construction (documents are bounded;
+    enforce upstream for pathological inputs)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_passage_sql("spark"))
+
+
+def q92_sql() -> str:
+    return _passage_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
+# q93 bigram likelihood-ratio surprise: a corpus-trained bigram language
+# model scores every document by how "surprising" its word transitions are
+# — the fluency/quality signal (boilerplate scores low, word salad high).
+# surprise(w1 w2) = (count(w1 ·)·1000) div count(w1 w2): the exact-integer
+# inverse conditional probability — summing it per document ranks documents
+# by mean transition unlikelihood with no log()/float anywhere.
+# --------------------------------------------------------------------------
+
+def _surprise_sql(dialect: str) -> str:
+    if dialect == "spark":
+        wrds = "SELECT doc_id, split(text, ' ') AS ws FROM documents"
+        lat = "LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i"
+        el = "element_at(ws, CAST(i AS INT))"
+        el2 = "element_at(ws, CAST(i AS INT) + 1)"
+        guard = "size(ws) >= 2"
+        idiv = "div"
+    else:
+        wrds = ("SELECT doc_id, string_split(text, ' ') AS ws "
+                "FROM documents")
+        lat = (", LATERAL (SELECT unnest(range(1, len(ws))) AS i) t")
+        el = "ws[CAST(i AS INTEGER)]"
+        el2 = "ws[CAST(i AS INTEGER) + 1]"
+        guard = "len(ws) >= 2"
+        idiv = "//"
+    return f"""
+WITH wrds AS ({wrds}),
+bg AS (SELECT doc_id, {el} AS w1, concat({el}, ' ', {el2}) AS big
+       FROM wrds {lat} WHERE {guard}),
+cb AS (SELECT big, CAST(count(*) AS BIGINT) AS c_big FROM bg GROUP BY big),
+cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_pre FROM bg GROUP BY w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((c_pre * 1000) {idiv} c_big) AS BIGINT) AS surprise_q
+FROM bg
+JOIN cb USING (big)
+JOIN cp USING (w1)
+GROUP BY doc_id
+"""
+
+
+def q93_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM surprise scoring. Model build = two map-side-combined
+    groupBys over the exploded bigram stream; scoring joins the
+    vocabulary-bounded count tables back (broadcastable — bigram
+    vocabularies are bounded by language, not corpus size) and rolls up
+    per doc_id. The integer ratio (c_pre·1000) div c_big is order-
+    isomorphic to -log P(w2|w1) per transition — exact in both engines
+    (the JVM-vs-libm 1-ulp ln() hazard never arises)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_surprise_sql("spark"))
+
+
+def q93_sql() -> str:
+    return _surprise_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3471,6 +3735,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_contamination_spans": q87_contamination_spans,
     "q88_retention_cohorts": q88_retention_cohorts,
     "q89_scd2_intervals": q89_scd2_intervals,
+    "q90_sequence_packing": q90_sequence_packing,
+    "q91_pmi_pairs": q91_pmi_pairs,
+    "q92_passage_dedup": q92_passage_dedup,
+    "q93_bigram_surprise": q93_bigram_surprise,
 }
 
 # --------------------------------------------------------------------------
@@ -3583,4 +3851,8 @@ ORACLES: dict[str, str] = {
     "q87_contamination_spans": q87_sql(),
     "q88_retention_cohorts": q88_sql(),
     "q89_scd2_intervals": q89_sql(),
+    "q90_sequence_packing": q90_sql(),
+    "q91_pmi_pairs": q91_sql(),
+    "q92_passage_dedup": q92_sql(),
+    "q93_bigram_surprise": q93_sql(),
 }

@@ -55,7 +55,7 @@ def run_bench(cpus: int, mult: int) -> dict:
                                                   SCALING_QUERIES))
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800)
+        env=env, capture_output=True, text=True, timeout=3600)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 

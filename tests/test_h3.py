@@ -291,3 +291,57 @@ def test_vertex_cells_unify_across_faces():
     cells = h3.latlng_to_cell(lat, lng, 0)
     assert len(np.unique(cells)) == 1
     assert bool(h3.BASE_IS_VERTEX[int(h3.cell_base(cells)[0])])
+
+
+def test_pentagon_area_fidelity():
+    """r5 sector frames: Monte-Carlo cell-area spread in a cap around a
+    pentagon vertex is bounded. The r4 single-home-face fold gave the
+    IK-ward ring cell ~2x the area of its siblings (the folded K wedge);
+    with the deleted-K wedge split across the five incident faces the
+    ring-1 hexagon areas must be within a modest spread. The pentagon
+    cell itself is excluded (it is legitimately smaller — 5 wedges of 6 —
+    exactly as in official H3)."""
+    rng = np.random.default_rng(23)
+    res = 3
+    n = 400_000
+    for vi in (1, 7):                       # one upper-ring, one lower-ring
+        v = h3.VERTS[vi]
+        lat0 = np.degrees(np.arcsin(np.clip(v[2], -1, 1)))
+        lng0 = np.degrees(np.arctan2(v[1], v[0]))
+        # uniform points on a spherical cap (radius in degrees) around v
+        cap_deg = 3.2
+        cosr = np.cos(np.radians(cap_deg))
+        z = rng.uniform(cosr, 1.0, n)       # uniform in cos(theta)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        s = np.sqrt(1 - z * z)
+        # local frame at v
+        ref = np.array([0.0, 0.0, 1.0]) if abs(v[2]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        e1 = np.cross(v, ref)
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(v, e1)
+        p = (z[:, None] * v[None, :]
+             + (s * np.cos(ang))[:, None] * e1[None, :]
+             + (s * np.sin(ang))[:, None] * e2[None, :])
+        lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1, 1)))
+        lng = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
+        cells = h3.latlng_to_cell(lat, lng, res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        # interior cells only: center well inside the cap so the count is
+        # the full cell area
+        clat, clng = h3.cell_to_latlng(uniq)
+        cc = h3._latlng_to_xyz(clat, clng)
+        inside = (cc @ v) > np.cos(np.radians(cap_deg - 0.9))
+        pent = h3.is_pentagon(uniq)
+        hexes = counts[inside & ~pent]
+        assert len(hexes) >= 5, "cap must contain the full ring-1"
+        ratio = hexes.max() / hexes.min()
+        # r4 fold measured ~2x on the IK neighbor; sector frames must
+        # keep the hex spread below the fold regime (gnomonic + seam
+        # clipping spread remains)
+        assert ratio < 1.75, (vi, ratio, np.sort(hexes))
+        # the pentagon itself is smaller than the mean hexagon, never
+        # larger (it has five wedges of a hexagon's six)
+        if (inside & pent).any():
+            pcount = counts[inside & pent][0]
+            assert pcount < hexes.mean() * 1.05, (vi, pcount, hexes.mean())

@@ -26,9 +26,12 @@ ALLOWED_CARTESIAN = {"q37_embedding_neardup", "q23_simhash_nn"}
 # fan-out (row growth is the operator's semantics, not a plan accident).
 # q62's stats side is ONE row (corpus n/avgdl/docfreqs) — the standard
 # scalar-statistics broadcast
+# q91's n side is ONE row (corpus doc count for the PMI denominator) —
+# the same scalar-statistics broadcast shape as q62
 ALLOWED_BNLJ = ALLOWED_CARTESIAN | {"q35_lines_in_radius",
                                     "q43_ring_sample_mean",
-                                    "q62_bm25_topk"}
+                                    "q62_bm25_topk",
+                                    "q91_pmi_pairs"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

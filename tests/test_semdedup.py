@@ -177,3 +177,74 @@ def test_multiprobe_default_matches_expression_kernel(spark):
                 semantic_neardup_edges_np(df, n_lists=4,
                                           n_probe=1).collect()}
     assert expr_edges == np_edges
+
+
+def test_max_cluster_noop_when_under_cap(spark):
+    """A cap no cluster exceeds must be a pure no-op — identical edges."""
+    base = _rng_vectors(40, seed=41)
+    planted = base[:6] + _rng_vectors(6, seed=42) * 0.01
+    vectors = np.vstack([base, planted.astype(np.float32)])
+    df = _emb_df(spark, vectors)
+    uncapped = {(r["id1"], r["id2"]) for r in
+                semantic_neardup_edges_np(df, n_lists=4).collect()}
+    capped = {(r["id1"], r["id2"]) for r in
+              semantic_neardup_edges_np(df, n_lists=4,
+                                        max_cluster=10_000).collect()}
+    assert capped == uncapped
+
+
+def test_max_cluster_subset_and_salt_rule(spark):
+    """Past the cap: the capped edge set is a sub-bucket-consistent SUBSET
+    of the uncapped one — every surviving pair shares
+    pmod(id, ceil(|c|/cap)), every dropped pair does not, and the result
+    is deterministic across runs."""
+    from air_health_gis_tools_spark.operators.semdedup import (
+        cluster_overflow_report)
+    # one deliberately tight corpus: everything lands in few clusters and
+    # near-dups are plentiful
+    base = _rng_vectors(8, seed=51)
+    reps = np.repeat(base, 12, axis=0)
+    jitter = _rng_vectors(len(reps), seed=52) * 0.005
+    vectors = (reps + jitter).astype(np.float32)
+    df = _emb_df(spark, vectors)
+    cap = 10
+    uncapped = {(r["id1"], r["id2"]) for r in
+                semantic_neardup_edges_np(df, n_lists=2).collect()}
+    capped_rows = semantic_neardup_edges_np(
+        df, n_lists=2, max_cluster=cap).collect()
+    capped = {(r["id1"], r["id2"]) for r in capped_rows}
+    assert capped <= uncapped
+    assert capped, "cap fixture must keep some within-bucket pairs"
+    assert capped != uncapped, "cap fixture must split a cluster"
+    # reconstruct the salt rule independently and verify edge membership
+    from air_health_gis_tools_spark.operators.semdedup import (
+        SAMPLE_N, ivf_train_centroids)
+    from air_health_gis_tools_spark.operators.similarity import ivf_assign
+    sample = np.stack(
+        [r[0] for r in df.orderBy("vec_id").limit(SAMPLE_N)
+         .select("embedding").collect()])
+    cents = ivf_train_centroids(sample, 2)
+    assigned = (ivf_assign(df, cents).select("vec_id", "ivf_list")
+                .toPandas().set_index("vec_id")["ivf_list"].to_dict())
+    import collections
+    csize = collections.Counter(assigned.values())
+    import math as _m
+    def salt(i):
+        c = assigned[i]
+        nsb = _m.ceil(csize[c] / cap)
+        return 0 if csize[c] <= cap else i % nsb
+    for i1, i2 in uncapped:
+        same_bucket = (assigned[i1] == assigned[i2]
+                       and salt(i1) == salt(i2))
+        assert ((i1, i2) in capped) == same_bucket, (i1, i2)
+    # determinism
+    again = {(r["id1"], r["id2"]) for r in semantic_neardup_edges_np(
+        df, n_lists=2, max_cluster=cap).collect()}
+    assert again == capped
+    # the report names exactly the oversized clusters
+    rep = cluster_overflow_report(df, n_lists=2, max_cluster=cap).collect()
+    over = {c for c, s in csize.items() if s > cap}
+    assert {r["cluster"] for r in rep} == over
+    for r in rep:
+        assert r["n_vecs"] == csize[r["cluster"]]
+        assert r["n_subbuckets"] == _m.ceil(csize[r["cluster"]] / cap)
