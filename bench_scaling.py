@@ -117,7 +117,15 @@ def main():
         "Workload-regime note: the hex rollup multiplies rows per LOCATION "
         "(cell cardinality is a property of the geography, fixed ~9M res-7 "
         "cells at 100 TB — map-side combine carries the growth); the other "
-        "queries multiply distinct points.",
+        "queries multiply distinct points. `q84_semdedup_big`'s input is "
+        "the EMBEDDING corpus, not the points table: 2.05M deterministic "
+        "md5-derived 64-dim vectors (EMB_MULT=1024 x the sf0.1 table), "
+        "k=1024 lists, skew cap max_cluster=4096 ON (an uncapped run "
+        "measures a single-task quadratic straggler — the 106k-vector "
+        "cluster a 4096-sample quantizer leaves — not the engine; 100 TB "
+        "runs cap for the same reason). Timed job = distributed "
+        "assignment + cluster-keyed pair dgemm; centroid training and the "
+        "corpus cache build are setup, outside the timed job.",
         "",
         "Strategy-crossover evidence (planner's Method-1 gate, r4 "
         "regime-split — plans/pipeline.py:choose_zonal_strategy): when "
