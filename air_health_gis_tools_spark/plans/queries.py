@@ -3387,7 +3387,12 @@ def q89_sql() -> str:
 # --------------------------------------------------------------------------
 
 Q90_SEQ_LEN = 128       # tokens per packed training sequence
-Q90_BUCKET = 64         # docs per offset bucket (the scalable-cumsum unit)
+# docs per offset bucket (the scalable-cumsum unit). 2^20 bounds BOTH
+# levels at web scale: 10^12 docs -> a ~10^6-row bucket table through the
+# one SinglePartition sort (a few MB) and <= 2^20-row within-bucket window
+# partitions. The produced integers are identical for ANY bucket size —
+# the constant only shapes the plan.
+Q90_BUCKET = 1 << 20
 
 
 def _packing_sql(dialect: str) -> str:
@@ -3448,12 +3453,14 @@ FROM spans {lat}
 def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length sequence packing with document splits. The global
     token offset is the scalable two-phase cumulative sum: per-bucket
-    totals (map-side combined), a window over the TINY bucket table, and
-    a window partitioned by bucket — no stage ever runs a global-order
-    window over the corpus (a bare ``OVER (ORDER BY ...)`` executes in
-    ONE task; at 10^12 docs that is the whole job serialized through one
-    executor). The oracle computes the same integers with the direct
-    global window DuckDB can afford at fixture scale."""
+    totals (map-side combined), a window over the SMALL bucket table
+    (≤ n/2^20 rows — ~10^6 at 10^12 docs, a few MB through its one
+    SinglePartition sort), and a window partitioned by bucket (≤ 2^20
+    rows per partition) — no stage ever runs a global-order window over
+    the corpus (a bare ``OVER (ORDER BY ...)`` executes in ONE task; at
+    10^12 docs that is the whole job serialized through one executor).
+    The oracle computes the same integers with the direct global window
+    DuckDB can afford at fixture scale."""
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_packing_sql("spark"))
 
