@@ -3649,6 +3649,39 @@ def q93_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q94 BPE tokenization: a real trained tokenizer over the corpus — merges
+# trained on a bounded pinned sample (the IVF/SemDeDup recipe; production
+# tokenizers are sample-trained too), application distributed as one
+# Arrow-batched map with the KB-scale merge table in the closure. The
+# golden replays the identical pure-Python/NumPy kernels driver-side
+# (q49's pattern — pins the distributed path; the algorithm itself is
+# pinned independently by hand-computed cases in tests/test_bpe.py).
+# --------------------------------------------------------------------------
+
+Q94_MERGES = 64
+
+
+def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token stats under a corpus-trained vocabulary:
+    n_bpe_tokens, n_bpe_distinct, and the integer compression ratio
+    (chars·10⁶ div tokens — the signal quality filters threshold on:
+    word salad compresses badly). No shuffle in the apply; training reads
+    `orderBy(doc_id).limit` (pinned membership AND order)."""
+    from ..operators.bpe import bpe_token_stats, bpe_train_on_df
+    d = _docs(spark, sf_dir)
+    merges = bpe_train_on_df(d, Q94_MERGES)
+    return (bpe_token_stats(d, merges)
+            .select(
+                "doc_id",
+                F.col("_bpe.n_bpe_tokens").cast("bigint")
+                .alias("n_bpe_tokens"),
+                F.col("_bpe.n_bpe_distinct").cast("bigint")
+                .alias("n_bpe_distinct"),
+                F.expr("CAST(n_chars * 1000000 div _bpe.n_bpe_tokens "
+                       "AS BIGINT)").alias("compression_ppm")))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3746,6 +3779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_pmi_pairs": q91_pmi_pairs,
     "q92_passage_dedup": q92_passage_dedup,
     "q93_bigram_surprise": q93_bigram_surprise,
+    "q94_bpe_tokenize": q94_bpe_tokenize,
 }
 
 # --------------------------------------------------------------------------
@@ -3862,4 +3896,5 @@ ORACLES: dict[str, str] = {
     "q91_pmi_pairs": q91_sql(),
     "q92_passage_dedup": q92_sql(),
     "q93_bigram_surprise": q93_sql(),
+    "q94_bpe_tokenize": _golden_sql("q94_bpe_tokenize"),
 }

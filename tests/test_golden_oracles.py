@@ -24,7 +24,7 @@ GOLDEN_KEYS = ["q23_simhash_nn", "q24_ann_lsh", "q30_s2_cells",
                "q49_h3_cells", "q50_two_crs_focal", "q51_geocode_crs_pixel",
                "q52_h3_kring_smooth", "q54_html_extract", "q55_warc_ingest",
                "q59_ann_ivfpq", "q61_geohash_cells", "q66_overview_pyramid",
-               "q67_pagerank", "q84_semantic_dedup"]
+               "q67_pagerank", "q84_semantic_dedup", "q94_bpe_tokenize"]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

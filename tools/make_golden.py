@@ -670,6 +670,24 @@ def golden_q84(n_lists: int = 8, tau_num: int = 9, tau_den: int = 20,
                          dtype="int64")})
 
 
+def golden_q94(n_merges: int = 64, sample_n: int = 256) -> pd.DataFrame:
+    """BPE token stats driver-side: same pure-Python/NumPy kernels as the
+    distributed apply (q49's pattern — pins Spark-side drift; the BPE
+    algorithm itself is pinned by hand-computed cases in tests/test_bpe.py
+    — merge order, tie-breaks, end-of-word handling)."""
+    from air_health_gis_tools_spark.operators.bpe import (bpe_tokenize_np,
+                                                          bpe_train_merges)
+    d = _docs_pdf().sort_values("doc_id").reset_index(drop=True)
+    merges = bpe_train_merges(d["text"].tolist()[:sample_n], n_merges)
+    n_tok, n_dist = bpe_tokenize_np(d["text"].to_numpy(), merges)
+    comp = (d["n_chars"].to_numpy(np.int64) * 1_000_000) // n_tok
+    return pd.DataFrame({
+        "doc_id": d["doc_id"].to_numpy(np.int64),
+        "n_bpe_tokens": n_tok,
+        "n_bpe_distinct": n_dist,
+        "compression_ppm": comp})
+
+
 ALL = {
     "q23_simhash_nn": golden_q23,
     "q24_ann_lsh": golden_q24,
@@ -689,6 +707,7 @@ ALL = {
     "q66_overview_pyramid": golden_q66,
     "q67_pagerank": golden_q67,
     "q84_semantic_dedup": golden_q84,
+    "q94_bpe_tokenize": golden_q94,
 }
 
 
