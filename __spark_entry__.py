@@ -20,8 +20,9 @@ dedup q92, bigram LM surprise q93, sample-trained BPE tokenization q94);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only
-queries left: the non-SQL-expressible rows (q22-q24, q30, q31, q41,
-q44, q48-q52, q54, q55, q59, q61, q84) are hash-verified against committed golden
+queries left: the non-SQL-expressible rows (q23, q24, q30, q31, q41,
+q44, q48-q52, q54, q55, q59, q61, q66, q67, q84, q94) are hash-verified
+against committed golden
 parquet tables under ``golden/``, computed independently by
 tools/make_golden.py (brute-force all-pairs for the banded simhash join,
 numpy ANN reimplementations at the pinned operating points, source-pixel
