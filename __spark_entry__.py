@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship buffered-zonal-stats pipeline at sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 (94
+``queries()`` exposes every implemented operator from SURVEY.md §2 (95
 queries in r5, incl. icosahedral H3 q49/q52, the two-CRS srg-dev workflow
 q50, the geocode→CRS→pixel chain q51, the curation-pipeline q53, the
 webtext ingest surface — HTML→text extraction q54, WARC ingest q55, URL
@@ -16,7 +16,8 @@ counts on the candidate graph q83, SemDeDup semantic dedup q84,
 domain-mixture resampling q85, Count-Min heavy hitters q86,
 contamination-span islands q87, retention cohorts q88, SCD2 validity
 intervals q89, sequence packing q90, PMI term pairs q91, passage-level
-dedup q92, bigram LM surprise q93, sample-trained BPE tokenization q94);
+dedup q92, bigram LM surprise q93, sample-trained BPE tokenization q94,
+deterministic shard shuffle q95);
 ``oracle_sql()`` pairs EVERY query with a DuckDB oracle (all floating
 outputs are engineered to be bit-identical across engines — see
 air_health_gis_tools_spark/geo_synth.py). There are no rows-only

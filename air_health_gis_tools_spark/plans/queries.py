@@ -3682,6 +3682,54 @@ def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q95 deterministic shard shuffle: the global-shuffle-then-shard step every
+# pretraining pipeline runs before writing sequence shards — a seeded
+# pseudorandom order that is REPRODUCIBLE (md5 of the id, not rand()),
+# sharded so the ordering window partitions by shard (never a global-order
+# window; the q90 lesson applies to ordering too).
+# --------------------------------------------------------------------------
+
+Q95_SHARDS = 8
+
+
+def _shard_shuffle_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = "CAST(conv(substring(k, 1, 8), 16, 10) AS BIGINT)"
+    else:
+        h = "CAST('0x' || substring(k, 1, 8) AS BIGINT)"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS {'STRING' if dialect == 'spark'
+                                     else 'VARCHAR'})) AS k
+  FROM documents),
+sharded AS (
+  SELECT doc_id, k, {h} % {Q95_SHARDS} AS shard FROM keyed)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos,
+       doc_id
+FROM sharded
+"""
+
+
+def q95_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle into training shards: order = md5 of
+    the id (seeded pseudorandomness a re-run reproduces — ``rand()``
+    does not survive retries or engine changes), shard = leading hash
+    bits, position = rank WITHIN the shard. The window partitions by
+    shard, so at 10^12 docs each ordering task sees n/shards rows and
+    shard count is the parallelism knob; a global-order shuffle (ORDER
+    BY k alone) would serialize through one task. doc_id tie-break makes
+    the order total."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_shard_shuffle_sql("spark"))
+
+
+def q95_sql() -> str:
+    return _shard_shuffle_sql("duckdb")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3780,6 +3828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_passage_dedup": q92_passage_dedup,
     "q93_bigram_surprise": q93_bigram_surprise,
     "q94_bpe_tokenize": q94_bpe_tokenize,
+    "q95_shard_shuffle": q95_shard_shuffle,
 }
 
 # --------------------------------------------------------------------------
@@ -3897,4 +3946,5 @@ ORACLES: dict[str, str] = {
     "q92_passage_dedup": q92_sql(),
     "q93_bigram_surprise": q93_sql(),
     "q94_bpe_tokenize": _golden_sql("q94_bpe_tokenize"),
+    "q95_shard_shuffle": q95_sql(),
 }
