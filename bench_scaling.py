@@ -219,6 +219,11 @@ def main():
         "  vs r2 1.62, minhash 3.07 vs 3.08, hex 1.01 vs r3 0.99). bench.py",
         "  defaults to min-of-3 reps since r4 for this reason; treat any",
         "  single-run BENCH_r{N} delta under ~30% as measurement noise.",
+        "  r5: BENCH/floors_r5.json commits a 6-rep floor run — its floors",
+        "  sit 15-25% above the r2-r4 floors UNIFORMLY (untouched code)",
+        "  while the 10x scale point (BENCH/suite_mult10.json) runs FASTER",
+        "  than r4: today's host is slower at small fixed-cost-sensitive",
+        "  walls, not the engine.",
     ]
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
