@@ -31,6 +31,29 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                  F.min(id_col).alias("keep_id")))
 
 
+def _spread_ingest(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Parallelize a compact text source before per-shingle work (r6,
+    guide §2.5 input skew): one parquet row group = one scan task, so the
+    shingle explode (and any md5 per shingle) would run on one core. When
+    the scan has fewer partitions than the cluster has slots, hash-
+    redistribute the (id, text) rows by id first — the text shuffle is
+    small next to the per-shingle compute it parallelizes, and keying by
+    ``id_col`` at the session's shuffle partitioning lets any downstream
+    groupBy(id) reuse the exchange (guide §2.4). Wide sources (the real-
+    scale case) skip this: there the scan is already parallel and an
+    extra full-text shuffle would be pure cost."""
+    src = docs.select(id_col, text_col)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = par
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(shuffle_parts, F.col(id_col))
+    return src
+
+
 def shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct character n-gram shingles per doc, via sequence+explode
@@ -38,7 +61,8 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
     g = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
         f"p -> substring({text_col}, p, {n}))")
-    return (docs.select(id_col, F.explode(g).alias("shingle"))
+    return (_spread_ingest(docs, id_col, text_col)
+            .select(id_col, F.explode(g).alias("shingle"))
             .distinct())
 
 
@@ -75,11 +99,18 @@ def minhash_signature(docs: DataFrame, n: int = 5, k: int = 4,
     insensitive, and skipping it removes a whole shuffle; the only shuffle
     left is the map-side-combined groupBy(doc_id), which moves k ints per
     document regardless of document length.
+
+    Ingest spread (r6): the md5-per-shingle work is ~50× the text bytes,
+    so a compact source is redistributed by id first via ``_spread_ingest``
+    — and because the spread keys on ``id_col`` at the session's shuffle
+    partitioning, the trailing groupBy(doc_id) reuses that exchange: the
+    whole signature then needs exactly ONE (small) shuffle.
     """
+    src = _spread_ingest(docs, id_col, text_col)
     g = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
         f"p -> substring({text_col}, p, {n}))")
-    sh = docs.select(id_col, F.explode(g).alias("shingle"))
+    sh = src.select(id_col, F.explode(g).alias("shingle"))
     h = (f"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) "
          f"% {MINHASH_P}")
     sh = sh.select(id_col, F.expr(h).alias("h"))

@@ -108,9 +108,14 @@ def pip_circle_counts(points: DataFrame, polys: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_points")))
     if group_cols:
         return hits
-    # zero-fill empty polygons (left join back to the dim)
+    # zero-fill empty polygons (left join back to the dim). ``hits`` has
+    # ≤ |polys| rows (one per non-empty polygon) and the dim is small by
+    # this operator's contract — hint the broadcast so the initial plan
+    # is a BroadcastHashJoin instead of a sort-merge join whose aggregate
+    # side has no size estimate (r6, guide §3.1; AQE usually rewrites it
+    # at runtime anyway, the hint makes it unconditional).
     return (polys.select(poly_id_col)
-            .join(hits, poly_id_col, "left")
+            .join(F.broadcast(hits), poly_id_col, "left")
             .select(poly_id_col,
                     F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points")))
 

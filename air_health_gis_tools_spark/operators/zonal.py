@@ -293,34 +293,52 @@ def point_tile_ids(df: DataFrame, rmax_px: int, tile_px: int,
 
     Tile key: tile_id = (row0/tile_px) * 2^32 + (col0/tile_px). A 10 km
     buffer at 1 km pixels touches ≤ 4 tiles of 256 px — bounded fan-out.
+
+    Pure Catalyst (r6, guide §4.1/§4.4): the r5 Arrow kernel here was the
+    tiled plan's hidden cost — explode's implicit ``size(...) > 0`` filter
+    is pushed below the ingest repartition, and a filter on a UDF-computed
+    column makes the optimizer evaluate the UDF BOTH below the exchange
+    (on the unparallelized scan task) and above it — two ArrowEvalPython
+    nodes per subtree, four per action since the plan reads the point side
+    twice (hot-tile count + cogroup). Integer ``least/greatest`` + one
+    4-element ``array`` keep the whole derivation in whole-stage codegen;
+    the emitted (_tids, single, tile_id) values are bit-identical (same
+    candidate order into the same ``array_distinct``). Floor division via
+    the pmod form preserves the kernel's numpy ``//`` semantics for
+    negative frames.
     """
     assert 2 * rmax_px + 1 <= tile_px, "window spans >2 tiles per axis"
     ntx = 1 << 32
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _tiles(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy().astype(np.int64)
-        ys = y.to_numpy().astype(np.int64)
-        r0 = ys // xres
-        c0 = xs // xres
-        tr_lo = np.maximum(r0 - rmax_px, 0) // tile_px
-        tr_hi = np.minimum(r0 + rmax_px, height - 1) // tile_px
-        tc_lo = np.maximum(c0 - rmax_px, 0) // tile_px
-        tc_hi = np.minimum(c0 + rmax_px, width - 1) // tile_px
-        # window ≤ tile ⇒ at most the 4 corner tiles; fully vectorized
-        # (n, 4) block, duplicates removed JVM-side by array_distinct
-        quad = np.stack([tr_lo * ntx + tc_lo, tr_lo * ntx + tc_hi,
-                         tr_hi * ntx + tc_lo, tr_hi * ntx + tc_hi], axis=1)
-        return pd.Series(quad.tolist())
+    def fdiv(e: str, d: int) -> str:
+        return f"((({e}) - pmod({e}, {d})) DIV {d})"
 
-    arr = F.array_distinct(_tiles(F.col(x_col), F.col(y_col)))
+    r0 = fdiv(y_col, xres)
+    c0 = fdiv(x_col, xres)
+    tr_lo = fdiv(f"greatest({r0} - {rmax_px}, 0L)", tile_px)
+    tr_hi = fdiv(f"least({r0} + {rmax_px}, {height - 1}L)", tile_px)
+    tc_lo = fdiv(f"greatest({c0} - {rmax_px}, 0L)", tile_px)
+    tc_hi = fdiv(f"least({c0} + {rmax_px}, {width - 1}L)", tile_px)
+    # window ≤ tile ⇒ at most the 4 corner tiles (same candidate order as
+    # the r5 kernel: lo/lo, lo/hi, hi/lo, hi/hi)
+    arr = F.array_distinct(F.expr(
+        f"array({tr_lo} * {ntx}L + {tc_lo}, {tr_lo} * {ntx}L + {tc_hi}, "
+        f"{tr_hi} * {ntx}L + {tc_lo}, {tr_hi} * {ntx}L + {tc_hi})"))
     # `single` marks points whose whole (clipped) window lies in ONE tile —
     # their (point, tile) partial IS the final answer, so they can bypass
     # the final combine shuffle entirely (the common case: fraction
-    # ≈ (1 - 2·rmax/tile_px)², ~85 % at rmax 10 / tile 256)
+    # ≈ (1 - 2·rmax/tile_px)², ~85 % at rmax 10 / tile 256).
+    # explode_OUTER, deliberately: the candidate array is never empty (4
+    # corners → ≥ 1 distinct id), so the rows are identical to explode's —
+    # but a plain explode makes InferFiltersFromGenerate add a
+    # ``size(_tids) > 0`` filter that filter-pushdown then copies BELOW
+    # the ingest exchange, re-inlining the whole ~2000-node tile-id
+    # expression into one interpreted (too big for codegen) per-row
+    # predicate on the unparallelized scan task (guide §4.4's duplication
+    # pathology, expression-flavored). Outer generate infers no filter.
     return (df.withColumn("_tids", arr)
             .withColumn("single", F.size("_tids") == 1)
-            .withColumn("tile_id", F.explode("_tids"))
+            .withColumn("tile_id", F.explode_outer("_tids"))
             .drop("_tids"))
 
 
@@ -413,6 +431,10 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     _dr, _dc, _d2 = _dr[_keep], _dc[_keep], _d2[_keep]
     _sels = {b: np.flatnonzero(_d2 <= _radius_px_at(b, xres) ** 2)
              for b in buffers_m}
+    # the max-radius buffer selects the WHOLE union circle — column-slicing
+    # with it would copy the full (chunk × offsets) value/valid blocks per
+    # chunk for nothing (r6: ~2 × 8 B × |circle| per point of pure memcpy)
+    _full_sel = {b: len(_sels[b]) == len(_dr) for b in buffers_m}
 
     def _partial(key, pdf_points: pd.DataFrame, pdf_tiles: pd.DataFrame
                  ) -> pd.DataFrame:
@@ -471,8 +493,8 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
             any_cnt = np.zeros(s1 - s0, dtype=np.int64)
             for b in buffers_m:
                 sel = _sels[b]
-                v = vals[:, sel]
-                valid = valid_all[:, sel]
+                v = vals if _full_sel[b] else vals[:, sel]
+                valid = valid_all if _full_sel[b] else valid_all[:, sel]
                 cnt = valid.sum(axis=1)
                 s = np.where(valid, v, 0.0).sum(axis=1)
                 mn = np.where(valid, v, np.inf).min(axis=1)
