@@ -456,20 +456,108 @@ def _build_pentagon_frames():
 
 _PENT_FRAMES = _build_pentagon_frames()
 
-# bases whose region borders a vertex base (the vertex base itself + its
-# ring-1 neighbors, selected by center distance): points landing in these
-# must let the vertex base's sector-frame candidates compete, because a
+# bases whose region borders a vertex base: points landing in these must
+# let the vertex base's sector-frame candidates compete, because a
 # family-rendered cell's footprint can cross the old home-projected base
-# boundary
-_NEAR_VERTS: dict[int, tuple[int, ...]] = {}
-for _b in range(NUM_BASE_CELLS):
-    _nv = tuple(
-        int(bv) for bv in np.flatnonzero(BASE_IS_VERTEX)
-        if float(BASE_CENTERS[_b] @ BASE_CENTERS[int(bv)])
-        > math.cos(math.radians(40.0)))
-    if _nv:
-        _NEAR_VERTS[_b] = _nv
-_GATED_BASES = np.array(sorted(_NEAR_VERTS), dtype=np.int64)
+# boundary.
+#
+# r6 (ADVICE r5): the old cos(40°) criterion put ALL 122 bases in the gate
+# (avg 1.57 vertex bases each), so every encoded point paid the 5-frame
+# competition — an order of magnitude of wasted work globally. The gate is
+# now DERIVED from the measured reach of the frames themselves:
+#
+#   a frame candidate `cen` can only beat the home candidate when
+#   angle(p, cen) < angle(p, home_cen); every rendered center satisfies
+#   angle(cen, v) ≤ D (sector reach: max over all res-3 digit paths,
+#   + 1° for the geometrically-shrinking deeper-res tail, increments
+#   ~×1/√7 per res), and the home candidate — the nearest rendered center
+#   under cube rounding — satisfies angle(p, home_cen) ≤ A (bounded by the
+#   max res-1 nearest-center spacing, ≥ 1.7× the true circumradius, and
+#   res ≥ 1 cells only shrink). Hence a win requires
+#   angle(p, v) ≤ θ := D + A  (~18.5°, vs the old effective 40°+).
+#
+# Base bb joins the gate for vertex bv iff bb's region intersects that cap
+# (min angle of bb's res-2 rendered centers to v, slackened by the max
+# res-2 center spacing — every point of bb lies within one res-2
+# circumradius ≤ that spacing of some res-2 center). latlng_to_cell
+# additionally applies the same θ per POINT, so even inside a gated base
+# only the points actually near the vertex run the frames. Equivalence
+# with the ungated competition is pinned by a dense differential test
+# (tests/test_h3.py) on top of the existing round-trip/area invariants.
+
+_REACH_RES = 3
+
+
+def _near_verts_tables(theta_deg: float | None):
+    """(near_verts dict, per-vertex-base cos(θ) point gate).
+
+    ``theta_deg=None`` reproduces the r5 loose gate (cos(40°) base lists,
+    no per-point filter) — kept for the differential equivalence test."""
+    vert_bases = [int(bv) for bv in np.flatnonzero(BASE_IS_VERTEX)]
+    gate_cos = {bv: -1.0 for bv in vert_bases}
+    near: dict[int, tuple[int, ...]] = {}
+    if theta_deg is None:
+        for b in range(NUM_BASE_CELLS):
+            nv = tuple(
+                bv for bv in vert_bases
+                if float(BASE_CENTERS[b] @ BASE_CENTERS[bv])
+                > math.cos(math.radians(40.0)))
+            if nv:
+                near[b] = nv
+        return near, gate_cos
+
+    # region cover: res-2 rendered centers of every base + cover slack
+    paths2 = np.stack(np.meshgrid(np.arange(7), np.arange(7),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+    paths2 = np.ascontiguousarray(paths2, dtype=np.int64)
+    cen2 = {b: _cell_center_r5(np.full(len(paths2), b, dtype=np.int64),
+                               paths2, 2) for b in range(NUM_BASE_CELLS)}
+    allc2 = np.concatenate([cen2[b] for b in range(NUM_BASE_CELLS)])
+    # max nearest-neighbor spacing among res-2 centers (chunked dot table)
+    nn_best = np.full(len(allc2), -1.0)
+    for s in range(0, len(allc2), 512):
+        d = allc2[s:s + 512] @ allc2.T
+        for i in range(d.shape[0]):
+            d[i, s + i] = -1.0
+        nn_best[s:s + 512] = d.max(axis=1)
+    slack2 = math.degrees(math.acos(float(np.clip(nn_best.min(), -1, 1))))
+    cos_reach = math.cos(math.radians(theta_deg + slack2))
+    for b in range(NUM_BASE_CELLS):
+        nv = tuple(bv for bv in vert_bases
+                   if float((cen2[b] @ BASE_CENTERS[bv]).max()) > cos_reach)
+        if nv:
+            near[b] = nv
+    for bv in vert_bases:
+        gate_cos[bv] = math.cos(math.radians(theta_deg))
+    return near, gate_cos
+
+
+def _derive_gate_theta() -> float:
+    """θ = sector reach D + nearest-center slack A, both measured from the
+    engine's own geometry at import (no tuned constants)."""
+    vert_bases = [int(bv) for bv in np.flatnonzero(BASE_IS_VERTEX)]
+    grids = np.meshgrid(*([np.arange(7)] * _REACH_RES), indexing="ij")
+    paths = np.stack(grids, axis=-1).reshape(-1, _REACH_RES)
+    paths = np.ascontiguousarray(paths, dtype=np.int64)
+    ok = _lead_of_digits(paths) != 1
+    reach = 0.0
+    for bv in vert_bases:
+        cen = _vertex_center_xyz(bv, paths[ok], _REACH_RES)
+        dots = cen @ BASE_CENTERS[bv]
+        reach = max(reach,
+                    math.degrees(math.acos(float(np.clip(dots.min(),
+                                                         -1, 1)))))
+    reach += 1.0   # deeper-res tail: increments shrink ×1/√7 per res
+    # A: max nearest-neighbor spacing among ALL res-1 rendered centers
+    paths1 = np.arange(7, dtype=np.int64)[:, None]
+    allc = np.concatenate([
+        _cell_center_r5(np.full(7, b, dtype=np.int64), paths1, 1)
+        for b in range(NUM_BASE_CELLS)])
+    d = allc @ allc.T
+    np.fill_diagonal(d, -1.0)
+    spacing = math.degrees(
+        math.acos(float(np.clip(d.max(axis=1).min(), -1, 1))))
+    return reach + spacing
 
 
 def _lead_of_digits(dg: np.ndarray) -> np.ndarray:
@@ -531,6 +619,13 @@ def _vertex_center_xyz(b: int, dg: np.ndarray, res: int) -> np.ndarray:
         if rows.any():
             c[rows] = c[rows] @ R_mats[gg].T
     return c
+
+
+# gate tables derived at import (see the r6 comment above
+# _near_verts_tables; must follow the center-rendering definitions)
+_GATE_THETA_DEG = _derive_gate_theta()
+_NEAR_VERTS, _GATE_COS = _near_verts_tables(_GATE_THETA_DEG)
+_GATED_BASES = np.array(sorted(_NEAR_VERTS), dtype=np.int64)
 
 
 def is_pentagon(h: np.ndarray) -> np.ndarray:
@@ -627,6 +722,13 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
                 sel = np.flatnonzero(np.isin(
                     base[gi],
                     [bb for bb, lst in near_lists.items() if bv in lst]))
+                if not len(sel):
+                    continue
+                # per-point gate (r6): only points within θ of THIS vertex
+                # can be won by its frames (see _near_verts_tables) — a
+                # gated base's far points skip the 5-frame walk entirely
+                close = p[gi[sel]] @ BASE_CENTERS[bv] > _GATE_COS[bv]
+                sel = sel[close]
                 if not len(sel):
                     continue
                 pp = p[gi[sel]]

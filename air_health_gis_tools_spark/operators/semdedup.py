@@ -73,7 +73,14 @@ def _quant16_expr(col: str) -> str:
     the Arrow volume of the raw float32 vector). A component with
     |e| > 32 would overflow int16; it raises instead — the guard is
     folded into the produced VALUE so Catalyst cannot prune it (the
-    rangejoin lesson)."""
+    rangejoin lesson).
+
+    NOTE (ADVICE r5): int16 representability is NOT the binding limit —
+    the exact-integer cosine predicate needs ‖q‖² ≤ _N2_MAX (≈1.5e8, see
+    ``_n2_bound_ok``), i.e. |e| ≲ sqrt(_N2_MAX/dim)/1000 (~1.5 at dim
+    64). The predicate-level guard is enforced per batch in the kernel
+    and in-expression in ``_quant_cols``; this int16 guard only protects
+    the shuffle encoding."""
     return (f"transform({col}, e -> CASE WHEN abs(CAST(e AS DOUBLE)) <= 32.0"
             f" THEN CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS SMALLINT)"
             f" ELSE CAST(raise_error('semdedup: |component| > 32 overflows"
@@ -81,13 +88,35 @@ def _quant16_expr(col: str) -> str:
             f" AS SMALLINT) END)")
 
 
+# Exact-predicate operand bound (ADVICE r5): the test
+#   dot²·den² ≥ num²·n2i·n2j   with |dot| ≤ √(n2i·n2j) ≤ max n2
+# stays inside int64 iff (max n2)² · den² < 2⁶³ with den ≤ 20 —
+# i.e. max n2 ≤ floor(√(2⁶³/400)). This also implies dot < 2⁵³, the
+# float64-dgemm exactness requirement, with ~45 bits to spare.
+_N2_MAX = int((2 ** 63 // 400) ** 0.5)
+
+
+def _n2_bound_ok(n2_max: int) -> None:
+    if n2_max > _N2_MAX:
+        raise ValueError(
+            f"semdedup: max ‖q‖² = {n2_max} exceeds {_N2_MAX}; the exact "
+            "int64 cosine predicate would overflow (component bound is "
+            "|e| <= sqrt(_N2_MAX/dim)/1000, not the int16 limit)")
+
+
 def _quant_cols(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # the ‖q‖² guard is folded into the produced n2 VALUE (rangejoin
+    # lesson: Catalyst prunes unevaluated guard columns) so the Catalyst
+    # pair path fails fast instead of wrapping int64 in the predicate
+    n2 = (f"aggregate(transform({_quant_expr(vec_col)}, e -> e * e), "
+          f"0L, (acc, v) -> acc + v)")
     return df.select(
         F.col("cluster"),
         F.col(id_col),
         F.expr(_quant_expr(vec_col)).alias("qv"),
-        F.expr(f"aggregate(transform({_quant_expr(vec_col)}, e -> e * e), "
-               f"0L, (acc, v) -> acc + v)").alias("n2"))
+        F.expr(f"CASE WHEN {n2} <= {_N2_MAX} THEN {n2} ELSE "
+               f"CAST(raise_error('semdedup: ||q||^2 overflows the exact "
+               f"int64 cosine predicate') AS BIGINT) END").alias("n2"))
 
 
 def semantic_neardup_edges(emb: DataFrame, n_lists: int = 8,
@@ -235,6 +264,10 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                             F.col("ivf_probes")[0].alias("primary"),
                             F.explode("ivf_probes").alias("cluster")))
     num2, den2 = tau_num * tau_num, tau_den * tau_den
+    # mirror-based single emission is only valid when home lists are whole
+    # cogroup groups (see the in-kernel comment); capped multi-probe runs
+    # emit per meeting and canonicalize downstream
+    suppress_mirror = max_cluster is None
 
     def _pairs(pdf):
         import pandas as pd
@@ -248,17 +281,19 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                 .astype(np.int64)                  # (n, n_probe)
         q = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
         n2 = (q * q).sum(axis=1)
+        # Per-batch operand guard (ADVICE r5): ‖q‖² ≤ _N2_MAX bounds BOTH
+        # the exact int64 predicate (|dot| ≤ max n2 by Cauchy–Schwarz, so
+        # dot²·den² < 2⁶³) AND float64-dgemm exactness (dot < 2⁵³). An
+        # explicit raise, not an assert — the guarantee must survive
+        # executors running under python -O.
+        if len(n2):
+            _n2_bound_ok(int(n2.max()))
         # The dot runs in float64 dgemm, NOT int64: NumPy integer matmul
         # never reaches BLAS (generic memory-bound loop — measured 0.517
-        # thread-scaling efficiency at the 4N leg). Every elementwise
-        # product ≤ 1e6 and every 64-term partial sum ≤ 6.4e7 — exactly
-        # representable in float64 (< 2^53) — so casting the dgemm result
-        # back to int64 is bit-identical to the integer matmul. The bound
-        # below guarantees exactness for any input that reaches here.
+        # thread-scaling efficiency at the 4N leg). The guard above keeps
+        # every dot exactly representable in float64, so casting the
+        # dgemm result back to int64 is bit-identical to integer matmul.
         qf = q.astype(np.float64)
-        dim = q.shape[1] if q.ndim == 2 else 0
-        assert dim * int(np.abs(q).max(initial=0)) ** 2 < 2 ** 53, \
-            "quantized magnitudes too large for exact float64 dgemm"
         cl = int(pdf["cluster"].iloc[0])
         gj = np.arange(len(q))[None, :]
         if multi:
@@ -274,13 +309,20 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
                 # resident×resident once (strict upper triangle in id
                 # order); resident row × visitor col: the mirror meeting
                 # exists in the visitor's HOME list iff this resident
-                # also probes it — emit only in the lower-numbered list
+                # also probes it — emit only in the lower-numbered list.
+                # ADVICE r5: the mirror rule is only sound when home
+                # lists are whole groups — under ``max_cluster`` the
+                # mirror meeting can land in a DIFFERENT sub-bucket of
+                # the home list and the pair would be emitted nowhere.
+                # Capped runs therefore emit on every meeting and the
+                # caller dedups (min-cluster canonicalization) instead.
                 rr = res[s:e, None] & res[None, :] & tri
                 rv = res[s:e, None] & ~res[None, :]
-                mem = np.zeros_like(rv)
-                for t in range(probes.shape[1]):
-                    mem |= probes[s:e, t][:, None] == prim[None, :]
-                rv &= ~((prim[None, :] < cl) & mem)
+                if suppress_mirror:
+                    mem = np.zeros_like(rv)
+                    for t in range(probes.shape[1]):
+                        mem |= probes[s:e, t][:, None] == prim[None, :]
+                    rv &= ~((prim[None, :] < cl) & mem)
                 ok &= rr | rv
             else:
                 ok &= tri
@@ -313,8 +355,17 @@ def semantic_neardup_edges_np(emb: DataFrame, n_lists: int = 8,
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         salted = (_cap_cluster_salt(assigned, id_col, max_cluster)
                   .repartition(n_parts, "cluster", "_salt"))
-        return salted.groupBy("cluster", "_salt").applyInPandas(
+        edges = salted.groupBy("cluster", "_salt").applyInPandas(
             _pairs, schema="cluster bigint, id1 bigint, id2 bigint")
+        if n_probe > 1:
+            # capped multi-probe emits a pair at EVERY resident×visitor
+            # meeting (mirror suppression off — see _pairs); canonicalize
+            # to one row per edge, attributed to the lowest meeting list.
+            # The dedup shuffle moves only edges, never vectors.
+            edges = (edges.groupBy("id1", "id2")
+                     .agg(F.min("cluster").alias("cluster"))
+                     .select("cluster", "id1", "id2"))
+        return edges
     return (assigned.repartition(n_parts, "cluster")
             .groupBy("cluster").applyInPandas(
                 _pairs, schema="cluster bigint, id1 bigint, id2 bigint"))

@@ -345,3 +345,43 @@ def test_pentagon_area_fidelity():
         if (inside & pent).any():
             pcount = counts[inside & pent][0]
             assert pcount < hexes.mean() * 1.05, (vi, pcount, hexes.mean())
+
+
+def test_tight_gate_matches_loose_competition():
+    """r6 optimization safety net: the derived θ-cap gate (reach + spacing,
+    see h3._near_verts_tables) must emit EXACTLY the ids of the r5 loose
+    gate (every base gated, no per-point filter). Uniform sample plus a
+    boundary-dense band straddling θ around every icosahedron vertex —
+    the only place a too-tight gate could silently change a winner."""
+    rng = np.random.default_rng(77)
+    n = 60_000
+    z = rng.uniform(-1.0, 1.0, n)
+    lat = np.degrees(np.arcsin(z))
+    lng = rng.uniform(-180.0, 180.0, n)
+    # boundary band: ring of points at θ ± 3° around each vertex base
+    th = np.radians(h3._GATE_THETA_DEG + rng.uniform(-3.0, 3.0, 4000))
+    for bv in np.flatnonzero(h3.BASE_IS_VERTEX):
+        v = h3.BASE_CENTERS[int(bv)]
+        ref = np.array([0.0, 0.0, 1.0]) if abs(v[2]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        e1 = np.cross(v, ref); e1 /= np.linalg.norm(e1)
+        e2 = np.cross(v, e1)
+        ang = rng.uniform(0, 2 * np.pi, len(th))
+        p = (np.cos(th)[:, None] * v[None, :]
+             + (np.sin(th) * np.cos(ang))[:, None] * e1[None, :]
+             + (np.sin(th) * np.sin(ang))[:, None] * e2[None, :])
+        lat = np.concatenate([lat, np.degrees(np.arcsin(
+            np.clip(p[:, 2], -1, 1)))])
+        lng = np.concatenate([lng, np.degrees(np.arctan2(p[:, 1], p[:, 0]))])
+    tight = (h3._NEAR_VERTS, h3._GATE_COS, h3._GATED_BASES)
+    loose_nv, loose_cos = h3._near_verts_tables(None)
+    try:
+        for res in (1, 2, 7):
+            a = h3.latlng_to_cell(lat, lng, res)
+            h3._NEAR_VERTS, h3._GATE_COS = loose_nv, loose_cos
+            h3._GATED_BASES = np.array(sorted(loose_nv), dtype=np.int64)
+            b = h3.latlng_to_cell(lat, lng, res)
+            h3._NEAR_VERTS, h3._GATE_COS, h3._GATED_BASES = tight
+            assert np.array_equal(a, b), res
+    finally:
+        h3._NEAR_VERTS, h3._GATE_COS, h3._GATED_BASES = tight

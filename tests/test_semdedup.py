@@ -248,3 +248,70 @@ def test_max_cluster_subset_and_salt_rule(spark):
     for r in rep:
         assert r["n_vecs"] == csize[r["cluster"]]
         assert r["n_subbuckets"] == _m.ceil(csize[r["cluster"]] / cap)
+
+
+def test_multiprobe_with_max_cluster_emits_every_meeting(spark):
+    """ADVICE r5 regression: combining n_probe>1 with max_cluster used to
+    drop resident×visitor pairs whose mirror meeting fell into a
+    DIFFERENT sub-bucket of the visitor's home list (the canonical-
+    suppression rule assumed whole home lists). Now capped multi-probe
+    runs emit at every meeting and canonicalize downstream. Verify the
+    edge set against an independent reconstruction of the documented
+    semantics: a predicate-passing pair is emitted iff SOME probed-by-
+    both list where at least one side is resident co-buckets the two ids
+    (pmod(id, ceil(rows_in_list/cap))), and no edge appears twice."""
+    import collections
+    import math as _m
+    from air_health_gis_tools_spark.operators.semdedup import SAMPLE_N
+    from air_health_gis_tools_spark.operators.similarity import (
+        ivf_assign_topp, ivf_train_centroids)
+    base = _rng_vectors(8, seed=61)
+    reps = np.repeat(base, 12, axis=0)
+    jitter = _rng_vectors(len(reps), seed=62) * 0.005
+    # centroid-boundary straddlers: near-identical pairs seeded at base
+    # midpoints, so some pairs split across home lists (the shape the r5
+    # suppression could drop under a cap)
+    mids = np.stack([(base[i] + base[(i + 3) % 8]) / 2 for i in range(8)])
+    mid_pairs = np.repeat(mids, 2, axis=0)
+    mid_pairs += _rng_vectors(len(mid_pairs), seed=63) * 0.01
+    vectors = np.vstack([reps + jitter, mid_pairs]).astype(np.float32)
+    df = _emb_df(spark, vectors)
+    cap, n_lists, n_probe = 10, 2, 2
+    rows = semantic_neardup_edges_np(
+        df, n_lists=n_lists, n_probe=n_probe, max_cluster=cap).collect()
+    edges = [(r["id1"], r["id2"]) for r in rows]
+    assert len(edges) == len(set(edges)), "duplicate edge after dedup"
+    got = set(edges)
+    # independent reconstruction
+    sample = np.stack(
+        [r[0] for r in df.orderBy("vec_id").limit(SAMPLE_N)
+         .select("embedding").collect()])
+    cents = ivf_train_centroids(sample, n_lists)
+    probes_pdf = (ivf_assign_topp(df, cents, "embedding", n_probe)
+                  .select("vec_id", "ivf_probes").toPandas())
+    probes = {int(r["vec_id"]): [int(x) for x in r["ivf_probes"]]
+              for _, r in probes_pdf.iterrows()}
+    rows_per_list = collections.Counter(
+        L for ps in probes.values() for L in ps)
+    nsb = {L: max(1, _m.ceil(n / cap)) if n > cap else 1
+           for L, n in rows_per_list.items()}
+    ceiling = _all_pairs_edges(vectors)
+    expected = set()
+    for (i, j) in ceiling:
+        for L in set(probes[i]) & set(probes[j]):
+            if probes[i][0] != L and probes[j][0] != L:
+                continue                     # visitor×visitor never tested
+            if i % nsb[L] == j % nsb[L]:
+                expected.add((i, j))
+                break
+    assert got == expected
+    assert expected, "fixture must produce capped multi-probe pairs"
+    # NOTE: no p=1 ⊆ p=2 monotonicity under a cap — sub-bucket counts
+    # include visitor rows, so raising n_probe legitimately re-buckets
+    # (the documented sub-bucket recall trade); the reconstruction
+    # equality above is the exact contract.
+    # the fixture must exercise the once-dropped shape: some expected
+    # pair must be resident×visitor with differing sub-bucket mirrors
+    rv = [(i, j) for (i, j) in expected
+          if probes[i][0] != probes[j][0]]
+    assert rv, "fixture must contain resident×visitor emissions"
