@@ -3144,9 +3144,13 @@ def q86_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-query contract column: est ≥ exact for EVERY key (CMS can only
     overestimate — deterministic for a fixed dataset, so the oracle
     reproduces it bit-for-bit, collisions included). Oracle formulation is
-    independent: d-way UNION ALL scans, no explode."""
-    from pyspark.sql import Window as W
+    independent: d-way UNION ALL scans, no explode.
 
+    r6 (VERDICT r5): n_total is a 1-row count aggregate broadcast back
+    (the q62/q91 scalar-dim shape) instead of ``sum(...) OVER ()`` — the
+    window form funneled the whole per-key table through a single-
+    partition exchange; the scalar join keeps every stage partitioned and
+    computes the identical total (count of stream rows = Σ n_exact)."""
     from ..operators.bloom import position_expr
     ev = _events(spark, sf_dir).select(
         F.expr(_q86_key("spark")).alias("zkey"))
@@ -3158,10 +3162,10 @@ def q86_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (ev.select(F.explode(probes).alias("p"))
           .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
           .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
     exact = (ev.groupBy("zkey")
              .agg(F.count(F.lit(1)).alias("n_exact"))
-             .withColumn("n_total",
-                         F.sum("n_exact").over(W.partitionBy())))
+             .crossJoin(F.broadcast(tot)))
     est = exact
     for i in range(Q86_D):
         ski = (sk.filter(F.col("r") == i)
@@ -3479,13 +3483,32 @@ def q90_sql() -> str:
 
 Q91_MIN_LEN = 4         # drop short function-ish tokens
 Q91_MIN_PAIRS = 5       # report pairs co-occurring in >= 5 docs
+# fail-fast scale guard (VERDICT r5): the within-doc pair self-join is
+# quadratic in per-doc DISTINCT terms — one 10^5-term document is a
+# 10^10-row single-key straggler at 100 TB. The guard raises (Spark side
+# only; results on conforming corpora are unchanged and the oracle text
+# is untouched) instead of silently melting; corpora that legitimately
+# exceed it should pre-cap terms per doc upstream (the LSH hot-bucket
+# defense pattern).
+Q91_MAX_TERMS_PER_DOC = 100_000
 
 
 def _pmi_sql(dialect: str) -> str:
     if dialect == "spark":
-        w = ("SELECT DISTINCT doc_id, word FROM documents "
+        # per-doc distinct-term guard folded into an evaluated filter
+        # (Catalyst keeps raise_error; the count window rides the same
+        # doc_id partitioning the pair join needs anyway)
+        w = ("SELECT doc_id, word FROM ("
+             "SELECT doc_id, word, "
+             "count(1) OVER (PARTITION BY doc_id) AS n_terms "
+             "FROM (SELECT DISTINCT doc_id, word FROM documents "
              "LATERAL VIEW explode(split(text, ' ')) t AS word "
-             f"WHERE length(word) >= {Q91_MIN_LEN}")
+             f"WHERE length(word) >= {Q91_MIN_LEN})) "
+             f"WHERE CASE WHEN n_terms <= {Q91_MAX_TERMS_PER_DOC} "
+             "THEN true ELSE CAST(raise_error(concat('q91: a document "
+             "has ', CAST(n_terms AS STRING), ' distinct terms — the "
+             "within-doc pair join would go quadratic; cap terms per "
+             "doc upstream')) AS BOOLEAN) END")
         idiv = "div"
     else:
         w = ("SELECT DISTINCT doc_id, word FROM (SELECT doc_id, "
@@ -3538,6 +3561,12 @@ def q91_sql() -> str:
 # --------------------------------------------------------------------------
 
 Q92_W = 10              # words per passage chunk
+# packed first-occurrence key span (VERDICT r5): doc_id·SPAN + chunk_idx
+# is a valid total order only while chunk_idx < SPAN — a >10M-word
+# document would silently corrupt the min. The Spark side guards the
+# bound in-expression (raise_error folded into the produced key value so
+# Catalyst cannot prune it); the oracle text keeps the plain literal.
+Q92_KEY_SPAN = 1_000_000
 
 
 def _passage_sql(dialect: str) -> str:
@@ -3547,6 +3576,12 @@ def _passage_sql(dialect: str) -> str:
         lat = (f"LATERAL VIEW explode(sequence(0, CAST(ceil(size(ws) "
                f"/ {Q92_W}.0) AS BIGINT) - 1)) t AS i")
         idiv = "div"
+        # packed-key bound enforced in the VALUE (Q92_KEY_SPAN comment)
+        cidx = (f"CASE WHEN i < {Q92_KEY_SPAN} THEN CAST(i AS BIGINT) "
+                f"ELSE CAST(raise_error('q92: chunk_idx >= "
+                f"{Q92_KEY_SPAN} overflows the packed first-occurrence "
+                f"key — split the document or widen the key') "
+                f"AS BIGINT) END")
     else:
         wrds = ("SELECT doc_id, string_split(text, ' ') AS ws "
                 "FROM documents")
@@ -3555,18 +3590,19 @@ def _passage_sql(dialect: str) -> str:
         lat = (f", LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) "
                f"/ {Q92_W}.0) AS BIGINT))) AS i) t")
         idiv = "//"
+        cidx = "CAST(i AS BIGINT)"
     return f"""
 WITH wrds AS ({wrds}),
-ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+ch AS (SELECT doc_id, {cidx} AS chunk_idx,
               md5({chunk}) AS h
        FROM wrds {lat}),
-firsts AS (SELECT h, min(doc_id * 1000000 + chunk_idx) AS first_key
+firsts AS (SELECT h, min(doc_id * {Q92_KEY_SPAN} + chunk_idx) AS first_key
            FROM ch GROUP BY h)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> first_key
+       CAST(sum(CASE WHEN doc_id * {Q92_KEY_SPAN} + chunk_idx <> first_key
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-       CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> first_key
+       CAST(sum(CASE WHEN doc_id * {Q92_KEY_SPAN} + chunk_idx <> first_key
                      THEN 1 ELSE 0 END) * 1000000 {idiv} count(*)
             AS BIGINT) AS dup_ppm
 FROM ch JOIN firsts USING (h)

@@ -28,9 +28,12 @@ ALLOWED_CARTESIAN = {"q37_embedding_neardup", "q23_simhash_nn"}
 # scalar-statistics broadcast
 # q91's n side is ONE row (corpus doc count for the PMI denominator) —
 # the same scalar-statistics broadcast shape as q62
+# q86's n_total side is ONE row (stream count for the heavy-hitter
+# threshold) — r6 replacement for the former single-partition window
 ALLOWED_BNLJ = ALLOWED_CARTESIAN | {"q35_lines_in_radius",
                                     "q43_ring_sample_mean",
                                     "q62_bm25_topk",
+                                    "q86_cms_heavy_hitters",
                                     "q91_pmi_pairs"}
 
 
