@@ -375,6 +375,16 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     pts = point_tile_ids(
         points.select(id_col, x_col, y_col), rmax, tile_px, x_col, y_col,
         height=height, width=width, xres=xres)
+    # NOTE (r6, considered and rejected): persisting the exploded point
+    # side here would serve both the hot-tile pre-count and the cogroup
+    # from one computation — but the persist's logical plan is invariant
+    # across repeated invocations on the same input, so Spark's
+    # CacheManager would feed every later invocation (including a bench's
+    # timed reps) from the first run's cache, silently excluding the
+    # ingest from what is measured. The double computation is the honest
+    # price of the pre-count salting pattern; it is two narrow codegen
+    # passes since the r6 Catalyst tile-id rewrite.
+    from pyspark import StorageLevel
 
     # ---- adaptive salting, fully distributed: the hot-tile map is a
     # DataFrame (only tiles with count > hot_group_rows survive the filter),
@@ -477,17 +487,37 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
         home_all = ((pr_all >= row0) & (pr_all < row0 + th)
                     & (pc_all >= col0) & (pc_all < col0 + tw))
         frames = []
-        # chunked so hot (salted) groups never build giant temporaries
+        # chunked so hot (salted) groups never build giant temporaries.
+        # ~(1 - 2·rmax/tile_px)² of points have their whole window inside
+        # this tile (the `single` fraction) — for those the inside mask is
+        # all-true by construction, so the mask + clip + where pass (three
+        # (chunk × |circle|) temporaries of pure memory traffic) is
+        # skipped (r6). Points are reordered interior-first so chunks stay
+        # homogeneous (emitted row order is free — the combine groups by
+        # point id and the driver hash is order-insensitive).
+        interior = ((pr_all - rmax >= row0) & (pr_all + rmax < row0 + th)
+                    & (pc_all - rmax >= col0) & (pc_all + rmax < col0 + tw))
+        if interior.any() and not interior.all():
+            ordr = np.argsort(~interior, kind="stable")
+            ids = ids[ordr]
+            singles = singles[ordr]
+            pr_all = pr_all[ordr]
+            pc_all = pc_all[ordr]
+            home_all = home_all[ordr]
+            interior = interior[ordr]
         for s0 in range(0, len(xs), _CHUNK):
             s1 = min(s0 + _CHUNK, len(xs))
             rows = pr_all[s0:s1, None] + _dr[None, :]
             cols = pc_all[s0:s1, None] + _dc[None, :]
-            inside = ((rows >= row0) & (rows < row0 + th) &
-                      (cols >= col0) & (cols < col0 + tw))
-            rr = np.clip(rows - row0, 0, th - 1)
-            cc = np.clip(cols - col0, 0, tw - 1)
-            vals = arr[rr, cc]
-            vals = np.where(inside, vals, np.nan)
+            if interior[s0:s1].all():
+                vals = arr[rows - row0, cols - col0]
+            else:
+                inside = ((rows >= row0) & (rows < row0 + th) &
+                          (cols >= col0) & (cols < col0 + tw))
+                rr = np.clip(rows - row0, 0, th - 1)
+                cc = np.clip(cols - col0, 0, tw - 1)
+                vals = arr[rr, cc]
+                vals = np.where(inside, vals, np.nan)
             valid_all = ~np.isnan(vals)
             cols_out = {id_col: ids[s0:s1], "single": singles[s0:s1]}
             any_cnt = np.zeros(s1 - s0, dtype=np.int64)
@@ -518,7 +548,6 @@ def buffered_stats_tiled(points: DataFrame, tiles: DataFrame,
     # via explain: two FlatMapCoGroupsInPandas nodes). Partials are
     # points-scale (14 numbers per (point, tile)) — persisting them is the
     # cheap side, never the raster.
-    from pyspark import StorageLevel
     partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _finalize(df_):
