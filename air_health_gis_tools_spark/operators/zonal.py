@@ -639,26 +639,34 @@ def buffered_mean_convolve_all(points: DataFrame, tiles: DataFrame,
                         ).astype(np.int64)
         chords[b] = (rpx, rpx - half, rpx + half)   # (rpx, lo[di], hi[di])
 
-    # tile -> superblock keys its (rmax-padded) extent touches (edge tiles
-    # fan out to <= 4 superblocks; interior tiles to exactly 1)
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sbs(row0: pd.Series, col0: pd.Series, h: pd.Series, w: pd.Series
-             ) -> pd.Series:
-        out = []
-        for r0, c0, hh, ww in zip(row0.to_numpy(), col0.to_numpy(),
-                                  h.to_numpy(), w.to_numpy()):
-            r_lo = max(0, (int(r0) - rmax)) // sb_px
-            r_hi = min(height - 1, int(r0) + int(hh) - 1 + rmax) // sb_px
-            c_lo = max(0, (int(c0) - rmax)) // sb_px
-            c_hi = min(width - 1, int(c0) + int(ww) - 1 + rmax) // sb_px
-            out.append([sr * (1 << 32) + sc
-                        for sr in range(r_lo, min(r_hi, nsr - 1) + 1)
-                        for sc in range(c_lo, min(c_hi, nsc - 1) + 1)])
-        return pd.Series(out)
+    # tile -> superblock keys its (rmax-padded) extent touches (≤ 3 per
+    # axis — when sb_px == tile_px the halo reaches both neighbors). Pure
+    # Catalyst (r6, guide §4.1 — the polygon_cover_cells pattern): two
+    # sequence explodes in whole-stage codegen replace the per-row Python
+    # loop through an Arrow boundary for every tile of the raster.
+    # explode_OUTER: sequences are provably non-empty (lo ≤ hi), and a
+    # plain explode's inferred size>0 filter would re-inline the range
+    # expressions below any upstream exchange (the tiled path's measured
+    # pathology).
+    def fdiv(e: str, d: int) -> str:
+        return f"((({e}) - pmod({e}, {d})) DIV {d})"
 
-    contrib = tiles.withColumn(
-        "sb", F.explode(_sbs(F.col("row0"), F.col("col0"),
-                             F.col("h"), F.col("w"))))
+    r_lo = fdiv(f"greatest(CAST(row0 AS BIGINT) - {rmax}, 0L)", sb_px)
+    r_hi_in = (f"least(CAST(row0 AS BIGINT) + h - 1 + {rmax}, "
+               f"{height - 1}L)")
+    r_hi = f"least({fdiv(r_hi_in, sb_px)}, {nsr - 1}L)"
+    c_lo = fdiv(f"greatest(CAST(col0 AS BIGINT) - {rmax}, 0L)", sb_px)
+    c_hi_in = (f"least(CAST(col0 AS BIGINT) + w - 1 + {rmax}, "
+               f"{width - 1}L)")
+    c_hi = f"least({fdiv(c_hi_in, sb_px)}, {nsc - 1}L)"
+    contrib = (tiles
+               .withColumn("_sr", F.explode_outer(
+                   F.expr(f"sequence({r_lo}, {r_hi})")))
+               .withColumn("_sc", F.explode_outer(
+                   F.expr(f"sequence({c_lo}, {c_hi})")))
+               .withColumn("sb",
+                           F.col("_sr") * F.lit(1 << 32) + F.col("_sc"))
+               .drop("_sr", "_sc"))
 
     pts = points.select(id_col, x_col, y_col).withColumn(
         "sb",
